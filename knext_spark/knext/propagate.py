@@ -1,0 +1,214 @@
+"""Compound/undefined-node propagation (graph rewriting).
+
+The reference bypasses non-gene nodes (``cpd:*``, ``undefined*``, and
+``path:*``) so that gene→gene connectivity through chains of non-gene
+nodes is preserved as explicit ('CPp', 'Custom', 'compound propagation')
+edges, then deletes the non-gene rows
+(`/root/reference/src/knext/genes.py:157-218`).
+
+Two engine implementations:
+
+1. ``propagate_faithful`` — bit-faithful reproduction of the reference
+   algorithm (including its shortest-path-anchored bridging and row
+   ordering) as an Arrow-vectorized ``applyInPandas`` grouped by
+   document. Single KGML documents are tiny (≤ a few hundred edges), so
+   per-document NetworkX work is cheap and the operator parallelizes
+   embarrassingly across 10^12 documents — this IS the scalable layout
+   for per-document semantics (no cross-document shuffle beyond the
+   groupBy on doc_id, which the upstream aggregation already keyed).
+
+2. ``propagate_contract`` — a pure-DataFrame fixpoint contraction for
+   arbitrarily LARGE single graphs (no per-doc grouping assumption):
+   iteratively extends gene→(non-gene chain) reachability one hop per
+   superstep (one equi-join each), then closes chains onto terminal
+   genes. O(longest non-gene chain) supersteps; each superstep joins
+   the frontier against the (small) non-gene→non-gene edge subset.
+   Semantics: CPp(g1,g2) iff a path g1 → n+ → g2 exists with all
+   intermediate nodes non-gene. On all test fixtures this matches the
+   reference's edge set (the reference's root/leaf shortest-path probing
+   is a heuristic subset that coincides on real pathway shapes); the
+   faithful variant remains the parity gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from knext_spark.knext.edges import EDGE_COLS
+
+_PROP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pathway", T.StringType()),
+        T.StructField("entry1", T.StringType()),
+        T.StructField("entry2", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("out_seq", T.IntegerType()),
+    ]
+)
+
+_NONGENE_PREFIXES = ("cpd", "undefined", "path")
+
+
+def _is_gene(name: str) -> bool:
+    return not name.startswith(_NONGENE_PREFIXES)
+
+
+def _propagate_pdf(pdf):
+    """Reference-exact per-document pass (genes.py:157-218)."""
+    import networkx as nx
+    import pandas as pd
+
+    pdf = pdf.sort_values("out_seq").reset_index(drop=True)
+    doc_id = pdf["doc_id"].iloc[0]
+    pathway = pdf["pathway"].iloc[0]
+    G = nx.from_pandas_edgelist(
+        pdf, source="entry1", target="entry2", edge_attr="name",
+        create_using=nx.DiGraph(),
+    )
+    # the reference recomputes these inside the node loop
+    # (genes.py:163-165) — G never changes, so hoisting is equivalent
+    roots = {n for n, d in G.in_degree() if d == 0}
+    leaves = {n for n, d in G.out_degree() if d == 0}
+    bridged: list[tuple[str, str]] = []
+    for node in G.nodes:
+        if not node.startswith(("cpd", "undefined")):
+            continue
+        if node in roots or node in leaves:
+            continue  # terminal non-gene nodes are left alone
+        in_edges = list(G.in_edges(node))
+        out_edges = list(G.out_edges(node))
+        for src, _ in in_edges:
+            for _, dst in out_edges:
+                if _is_gene(src) and _is_gene(dst):
+                    # simple 1-hop bypass: gene -> node -> gene
+                    bridged.append((src, dst))
+                else:
+                    # root/leaf shortest-path bridging: last gene on the
+                    # root->node path to first gene on the node->leaf path
+                    for root in roots:
+                        for leaf in leaves:
+                            if not (
+                                nx.has_path(G, root, node)
+                                and nx.has_path(G, node, leaf)
+                            ):
+                                continue
+                            rpath = nx.shortest_path(G, root, node)
+                            lpath = nx.shortest_path(G, node, leaf)
+                            r_genes = [i for i, p in enumerate(rpath) if _is_gene(p)]
+                            l_genes = [i for i, p in enumerate(lpath) if _is_gene(p)]
+                            if not r_genes or not l_genes:
+                                continue
+                            bridged.append((rpath[max(r_genes)], lpath[min(l_genes)]))
+    new_df = pd.DataFrame(
+        [
+            (doc_id, pathway, a, b, "CPp", "Custom", "compound propagation", 0)
+            for a, b in bridged
+        ],
+        columns=[f.name for f in _PROP_SCHEMA.fields],
+    )
+    out = pd.concat([pdf[[f.name for f in _PROP_SCHEMA.fields]], new_df])
+    out = out.drop_duplicates(
+        subset=["entry1", "entry2", "type", "value", "name"], keep="first"
+    )
+    keep = out["entry1"].map(_is_gene) & out["entry2"].map(_is_gene)
+    out = out[keep].reset_index(drop=True)
+    out["out_seq"] = range(1, len(out) + 1)
+    return out
+
+
+def propagate_faithful(edges: DataFrame) -> DataFrame:
+    """Per-document propagation, Arrow-vectorized, grouped by doc_id."""
+    cols = [f.name for f in _PROP_SCHEMA.fields]
+    return (
+        edges.select(*cols)
+        .groupBy("doc_id")
+        .applyInPandas(_propagate_pdf, schema=_PROP_SCHEMA)
+    )
+
+
+def _nongene_col(c: str) -> F.Column:
+    col = F.col(c)
+    return (
+        col.startswith("cpd")
+        | col.startswith("undefined")
+        | col.startswith("path")
+    )
+
+
+def propagate_contract(
+    edges: DataFrame, max_iters: int = 64, checkpoint_every: int = 4
+) -> DataFrame:
+    """Distributed fixpoint contraction (see module docstring).
+
+    Scale notes: the frontier R holds (gene, reachable-non-gene) pairs —
+    bounded by |genes adjacent to chains| × |non-gene nodes per chain|;
+    each superstep is ONE equi-join on the chain-node key plus a
+    distinct. ``localCheckpoint`` every few supersteps truncates lineage
+    so plans stay O(1) deep.
+    """
+    key = ["doc_id", "entry1", "entry2"]
+    e = edges.select(*key, "pathway").dropDuplicates(key)
+    g2n = e.where(~_nongene_col("entry1") & _nongene_col("entry2"))
+    n2n = e.where(_nongene_col("entry1") & _nongene_col("entry2")).select(
+        F.col("doc_id").alias("j_doc"),
+        F.col("entry1").alias("j_from"),
+        F.col("entry2").alias("j_to"),
+    )
+    n2g = e.where(_nongene_col("entry1") & ~_nongene_col("entry2")).select(
+        F.col("doc_id").alias("j_doc"),
+        F.col("entry1").alias("j_from"),
+        F.col("entry2").alias("j_gene"),
+    )
+    frontier = g2n.select("doc_id", F.col("entry1").alias("gene"), F.col("entry2").alias("node"))
+    reach = frontier.localCheckpoint(eager=True)
+    for it in range(max_iters):
+        nxt = (
+            frontier.join(
+                n2n,
+                (frontier["doc_id"] == n2n["j_doc"]) & (frontier["node"] == n2n["j_from"]),
+            )
+            .select("doc_id", "gene", F.col("j_to").alias("node"))
+            .join(reach, ["doc_id", "gene", "node"], "left_anti")
+            .distinct()
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        reach = reach.unionByName(nxt)
+        if (it + 1) % checkpoint_every == 0:
+            reach = reach.localCheckpoint(eager=True)
+        frontier = nxt
+    cpp = (
+        reach.join(
+            n2g, (reach["doc_id"] == n2g["j_doc"]) & (reach["node"] == n2g["j_from"])
+        )
+        .select(
+            "doc_id",
+            F.col("gene").alias("entry1"),
+            F.col("j_gene").alias("entry2"),
+        )
+        .distinct()
+        .withColumn("type", F.lit("CPp"))
+        .withColumn("value", F.lit("Custom"))
+        .withColumn("name", F.lit("compound propagation"))
+    )
+    pathways = edges.select("doc_id", "pathway").dropDuplicates(["doc_id"])
+    cpp = cpp.join(pathways, "doc_id", "left")
+    base = edges.select("doc_id", "pathway", *EDGE_COLS[2:], "out_seq")
+    # existing identical 5-col rows win over generated CPp rows
+    cpp = cpp.join(
+        base.select("doc_id", *EDGE_COLS[2:]),
+        ["doc_id", "entry1", "entry2", "type", "value", "name"],
+        "left_anti",
+    ).withColumn("out_seq", F.lit(None).cast("int"))
+    merged = base.unionByName(cpp.select(*base.columns))
+    kept = merged.where(~_nongene_col("entry1") & ~_nongene_col("entry2"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc_nulls_last("out_seq"), "entry1", "entry2", "type"
+    )
+    return kept.withColumn("out_seq", F.row_number().over(w))
