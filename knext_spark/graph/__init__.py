@@ -1,0 +1,18 @@
+"""Iterative DataFrame-join graph algorithms over the canonical edge
+table (src, dst, weight[, doc_id]).
+
+The reference (`everest-castaneda/knext`) builds "networks for graph
+analysis" (README.rst:5-8) but runs no algorithms itself; the north
+rule (/root/repo/BASELINE.json) mandates PageRank, connected
+components, label propagation and triangle counting as iterative
+DataFrame-join passes with per-superstep checkpointing and explicit
+skew handling. All algorithms share the SuperstepRunner (superstep.py)
+for checkpoint / resume / per-partition lineage metrics.
+"""
+
+from knext_spark.graph.superstep import SuperstepRunner  # noqa: F401
+from knext_spark.graph.pagerank import pagerank  # noqa: F401
+from knext_spark.graph.components import connected_components  # noqa: F401
+from knext_spark.graph.lpa import label_propagation  # noqa: F401
+from knext_spark.graph.triangles import triangle_count  # noqa: F401
+from knext_spark.graph.degrees import degrees, degree_histogram  # noqa: F401

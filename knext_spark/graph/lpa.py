@@ -1,0 +1,97 @@
+"""Deterministic synchronous label propagation (community detection).
+
+nx's builtin LPA variants are randomized (tie-breaks by RNG, async
+order by shuffle) — the north rule's exact-match mandate forces a
+pinned deterministic rule, documented here and mirrored by the test
+oracle (tests/test_graph_algos.py):
+
+- undirected neighborhoods (edge direction ignored, self-loops dropped,
+  parallel edges collapsed);
+- init: label(v) = v;
+- synchronous update: label'(v) = the lexicographically SMALLEST label
+  among those with maximum frequency in v's neighborhood (v's own label
+  does not vote unless v is its own neighbor);
+- isolated nodes keep their label;
+- stop when no label changed, or after max_iter supersteps (synchronous
+  LPA can 2-cycle on bipartite structures; the cap plus deterministic
+  tie-break makes every run reproducible bit-for-bit).
+
+Each superstep: one join (labels onto the bidirected edge list), one
+groupBy (label frequencies per node), one window (argmax with
+deterministic tie-break) — all shuffle-keyed on node. Checkpoint/resume
+via SuperstepRunner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    run_id: str = "default",
+    resume: bool = False,
+    cadence: int = 1,
+) -> SuperstepResult:
+    """edges(src, dst) -> SuperstepResult with state (node, label)."""
+    import tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
+
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    bidir = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def init_state() -> DataFrame:
+        return nodes.select("node", F.col("node").alias("label"))
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        labels = state.select("node", "label")
+        msgs = bidir.join(labels, bidir["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "label"
+        )
+        freq = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.where(F.col("chg")).count()
+        return new.select("node", "label"), {"changed": int(changed)}
+
+    def converged(m: dict) -> bool:
+        return m.get("changed", 1) == 0
+
+    runner = SuperstepRunner(spark, "lpa", run_id, checkpoint_dir, cadence=cadence)
+    res = runner.run(init_state, step, converged, max_iter, resume=resume)
+    bidir.unpersist()
+    nodes.unpersist()
+    return res

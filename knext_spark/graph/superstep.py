@@ -1,0 +1,154 @@
+"""Shared superstep runner: checkpoint, resume, lineage metrics.
+
+The north rule requires that "every superstep checkpoints per-partition
+lineage and convergence metrics so a killed job resumes mid-iteration".
+Design:
+
+- superstep state is a DataFrame; after each superstep the runner
+  writes it as Parquet under
+  ``<checkpoint_dir>/<algo>/<run_id>/iter=<k>/`` (atomic: Spark's
+  ``_SUCCESS`` marker commits the iteration) and reads it back — the
+  read-back also truncates Catalyst lineage, keeping plan depth O(1)
+  across arbitrarily many supersteps (without it the iterative-join
+  plan grows linearly and the driver OOMs on plan analysis long before
+  data is the bottleneck).
+- alongside the data the runner writes ``_metrics.json``: superstep
+  number, wall seconds, row count, the algorithm's convergence metric,
+  and per-partition lineage (rows per shuffle partition via
+  ``spark_partition_id()``), so an operator can audit skew drift
+  between supersteps.
+- ``resume=True`` scans for the highest committed iteration
+  (``_SUCCESS`` present AND ``_metrics.json`` present) and restarts the
+  loop from there; a half-written iteration (killed mid-write) has no
+  ``_SUCCESS`` and is ignored, then overwritten.
+
+At cluster scale the checkpoint dir lives on the shared FS (HDFS/S3);
+in this sandbox it is a local path. Cadence is 1 (every superstep) per
+the north rule; ``cadence=k`` trades resumability granularity for I/O,
+using ``localCheckpoint`` (executor-memory lineage truncation, not
+fault-tolerant) for intermediate supersteps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _iter_dir(base: str, k: int) -> str:
+    return os.path.join(base, f"iter={k:05d}")
+
+
+def _committed(base: str, k: int) -> bool:
+    d = _iter_dir(base, k)
+    return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+        os.path.join(d, "_metrics.json")
+    )
+
+
+def last_committed_iter(base: str) -> int:
+    """Highest committed superstep, or -1 if none."""
+    if not os.path.isdir(base):
+        return -1
+    best = -1
+    for name in os.listdir(base):
+        if name.startswith("iter="):
+            k = int(name.split("=", 1)[1])
+            if _committed(base, k):
+                best = max(best, k)
+    return best
+
+
+class SuperstepRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        algo: str,
+        run_id: str,
+        checkpoint_dir: str,
+        cadence: int = 1,
+        partition_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.base = os.path.join(checkpoint_dir, algo, run_id)
+        self.cadence = max(1, cadence)
+        self.partition_lineage = partition_lineage
+        self.metrics: list[dict] = []
+
+    def _commit(self, state: DataFrame, k: int, extra: dict, wall_s: float) -> DataFrame:
+        d = _iter_dir(self.base, k)
+        state.write.mode("overwrite").parquet(d)
+        persisted = self.spark.read.parquet(d)
+        m = {
+            "iteration": k,
+            "wall_s": round(wall_s, 4),
+            "rows": persisted.count(),
+            **extra,
+        }
+        if self.partition_lineage:
+            per_part = (
+                persisted.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            m["partitions"] = {str(r["pid"]): r["count"] for r in per_part}
+        with open(os.path.join(d, "_metrics.json"), "w") as f:
+            json.dump(m, f)
+        self.metrics.append(m)
+        return persisted
+
+    def run(
+        self,
+        init_state: Callable[[], DataFrame],
+        step: Callable[[DataFrame, int], tuple[DataFrame, dict]],
+        converged: Callable[[dict], bool],
+        max_iters: int,
+        resume: bool = False,
+    ) -> SuperstepResult:
+        """Run ``step`` until ``converged(metrics)`` or ``max_iters``.
+
+        ``step(state, k)`` returns (new_state, metrics_dict); the
+        metrics dict must contain whatever ``converged`` inspects (e.g.
+        ``{"l1_delta": ...}`` or ``{"changed": n}``). Superstep 0 is
+        the initial state (committed as iter=0).
+        """
+        start_k = last_committed_iter(self.base) if resume else -1
+        if start_k >= 0:
+            state = self.spark.read.parquet(_iter_dir(self.base, start_k))
+            with open(os.path.join(_iter_dir(self.base, start_k), "_metrics.json")) as f:
+                last_m = json.load(f)
+            self.metrics.append(last_m)
+            if start_k > 0 and converged(last_m):
+                return SuperstepResult(state, start_k, True, self.metrics)
+        else:
+            t0 = time.time()
+            state = self._commit(init_state(), 0, {"init": True}, time.time() - t0)
+            start_k = 0
+
+        is_converged = False
+        k = start_k
+        for k in range(start_k + 1, max_iters + 1):
+            t0 = time.time()
+            new_state, m = step(state, k)
+            if k % self.cadence == 0 or converged(m) or k == max_iters:
+                state = self._commit(new_state, k, m, time.time() - t0)
+            else:
+                state = new_state.localCheckpoint(eager=True)
+                self.metrics.append({"iteration": k, **m})
+            if converged(m):
+                is_converged = True
+                break
+        return SuperstepResult(state, k, is_converged, self.metrics)

@@ -1,0 +1,260 @@
+"""Graph-algorithm oracles (SURVEY.md §5.2 item 3).
+
+PageRank vs nx.pagerank allclose(1e-6); connected components exact
+(partition equality, canonical min label); LPA exact vs the pinned
+deterministic rule re-implemented over NetworkX structures; triangles
+exact vs nx.triangles. Graphs: edges derived from the KGML corpus plus
+adversarial synthetics (hub star, chain, dangling, self-loop, islands,
+parallel edges).
+"""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import numpy as np
+from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+# scipy is not installed in this sandbox, so nx.pagerank's default
+# scipy backend is unavailable; _pagerank_python is NetworkX's own
+# shipped power iteration with identical semantics — the oracle the
+# north star pins to.
+nx_pagerank = _pagerank_python
+import pytest
+from pyspark.sql import functions as F
+
+from knext_spark.graph import (
+    connected_components,
+    degree_histogram,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+
+
+def _adversarial_graphs() -> dict[str, list[tuple[str, str]]]:
+    rng = random.Random(7)
+    hub = [("hub", f"n{i}") for i in range(40)] + [(f"n{i}", "hub") for i in range(5)]
+    chain = [(f"c{i}", f"c{i+1}") for i in range(30)]
+    dangling = [("a", "b"), ("b", "c"), ("x", "c")]  # c dangles
+    self_loop = [("s", "s"), ("s", "t"), ("t", "u")]
+    islands = [("i1", "i2"), ("i3", "i4"), ("i5", "i6"), ("i2", "i1")]
+    parallel = [("p", "q"), ("p", "q"), ("q", "r"), ("p", "q")]
+    er = []
+    names = [f"v{i}" for i in range(60)]
+    for _ in range(180):
+        er.append((rng.choice(names), rng.choice(names)))
+    return {
+        "hub": hub,
+        "chain": chain,
+        "dangling": dangling,
+        "self_loop": self_loop,
+        "islands": islands,
+        "parallel": parallel,
+        "erdos": er,
+    }
+
+
+GRAPHS = _adversarial_graphs()
+
+
+@pytest.fixture(scope="module")
+def corpus_edges(spark, parsed_docs):
+    from knext_spark.knext import build_edges
+
+    e = build_edges(parsed_docs, mixed=True, unique=True)
+    return [
+        (r["entry1"], r["entry2"])
+        for r in e.select("entry1", "entry2").collect()
+    ]
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src string, dst string, weight double"
+    )
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_pagerank_vs_networkx(spark, tmp_path, gname):
+    pairs = GRAPHS[gname]
+    # nx.DiGraph collapses parallel edges -> feed the engine deduped
+    # pairs for parity (engine semantics on duplicates = MultiDiGraph).
+    dedup = list(dict.fromkeys(pairs))
+    G = nx.DiGraph()
+    G.add_edges_from(dedup)
+    want = nx_pagerank(G, alpha=0.85, tol=1e-6, max_iter=100)
+
+    res = pagerank(
+        spark,
+        _edge_df(spark, dedup),
+        checkpoint_dir=str(tmp_path / gname),
+        run_id="t",
+        cadence=25,
+    )
+    got = {r["node"]: r["rank"] for r in res.state.collect()}
+    assert res.converged
+    assert set(got) == set(want)
+    keys = sorted(want)
+    assert np.allclose(
+        [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
+    ), gname
+
+
+def test_pagerank_corpus_and_salted(spark, tmp_path, corpus_edges):
+    dedup = list(dict.fromkeys(corpus_edges))
+    G = nx.DiGraph()
+    G.add_edges_from(dedup)
+    want = nx_pagerank(G, alpha=0.85, tol=1e-6, max_iter=100)
+    for salt_k, run in [(1, "plain"), (4, "salted")]:
+        res = pagerank(
+            spark,
+            _edge_df(spark, dedup),
+            checkpoint_dir=str(tmp_path / run),
+            run_id=run,
+            salt_k=salt_k,
+            cadence=25,
+        )
+        got = {r["node"]: r["rank"] for r in res.state.collect()}
+        keys = sorted(want)
+        assert np.allclose(
+            [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
+        ), run
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    full = pagerank(
+        spark, _edge_df(spark, pairs), checkpoint_dir=str(tmp_path / "f"), run_id="r"
+    )
+    # simulate a kill after superstep 3: run capped, then resume
+    part = pagerank(
+        spark,
+        _edge_df(spark, pairs),
+        checkpoint_dir=str(tmp_path / "p"),
+        run_id="r",
+        max_iter=3,
+    )
+    assert not part.converged
+    resumed = pagerank(
+        spark,
+        _edge_df(spark, pairs),
+        checkpoint_dir=str(tmp_path / "p"),
+        run_id="r",
+        resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    a = {r["node"]: r["rank"] for r in full.state.collect()}
+    b = {r["node"]: r["rank"] for r in resumed.state.collect()}
+    keys = sorted(a)
+    assert np.allclose([a[k] for k in keys], [b[k] for k in keys], atol=1e-12)
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_connected_components_exact(spark, tmp_path, gname):
+    pairs = GRAPHS[gname]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    want = {frozenset(c) for c in nx.connected_components(G)}
+
+    res = connected_components(
+        spark, _edge_df(spark, pairs), checkpoint_dir=str(tmp_path / gname)
+    )
+    rows = res.state.collect()
+    by_label: dict[str, set] = {}
+    for r in rows:
+        by_label.setdefault(r["component"], set()).add(r["node"])
+    got = {frozenset(v) for v in by_label.values()}
+    assert got == want, gname
+    # canonical label = min node of its component
+    for label, members in by_label.items():
+        assert label == min(members)
+
+
+def _lpa_oracle(pairs, max_iter=20):
+    """The pinned deterministic LPA rule (see knext_spark/graph/lpa.py)."""
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    labels = {n: n for n in G.nodes}
+    for _ in range(max_iter):
+        new = {}
+        for n in G.nodes:
+            nbrs = list(G.neighbors(n))
+            if not nbrs:
+                new[n] = labels[n]
+                continue
+            freq: dict[str, int] = {}
+            for v in nbrs:
+                freq[labels[v]] = freq.get(labels[v], 0) + 1
+            top = max(freq.values())
+            new[n] = min(l for l, c in freq.items() if c == top)
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_lpa_exact_vs_pinned_oracle(spark, tmp_path, gname):
+    pairs = [(a, b) for a, b in GRAPHS[gname] if a != b]
+    if not pairs:
+        pytest.skip("no non-loop edges")
+    want = _lpa_oracle(pairs)
+    res = label_propagation(
+        spark, _edge_df(spark, pairs), checkpoint_dir=str(tmp_path / gname)
+    )
+    got = {r["node"]: r["label"] for r in res.state.collect()}
+    # isolated-by-self-loop nodes only exist in self_loop graph; engine
+    # includes all endpoint nodes
+    for n, l in want.items():
+        assert got[n] == l, (gname, n)
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_triangles_exact(spark, gname):
+    pairs = GRAPHS[gname]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(_edge_df(spark, pairs)).collect()
+    }
+    assert got == want, gname
+
+
+def test_triangles_corpus(spark, corpus_edges):
+    G = nx.Graph()
+    G.add_edges_from(corpus_edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            _edge_df(spark.builder.getOrCreate() if False else spark, corpus_edges)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_degree_histogram(spark):
+    df = _edge_df(spark, GRAPHS["hub"])
+    hist = {r["bucket"]: r["n_nodes"] for r in degree_histogram(df).collect()}
+    # hub has out-degree 40 -> bucket floor(log2(40)) = 5
+    assert hist.get(5) == 1
+
+
+def test_pagerank_sums_to_one(spark, tmp_path):
+    for gname, pairs in GRAPHS.items():
+        dedup = list(dict.fromkeys(pairs))
+        res = pagerank(
+            spark,
+            _edge_df(spark, dedup),
+            checkpoint_dir=str(tmp_path / ("s" + gname)),
+            cadence=25,
+        )
+        total = res.state.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9, gname
