@@ -1,0 +1,210 @@
+"""spark-submit entrypoint mirroring the reference CLI verbs.
+
+Reference: ``knext get-kgml|genes|mixed|convert``
+(`/root/reference/src/__main__.py:22-158`). Engine verbs:
+
+  ingest        synthesize/refresh the docs corpus table (stand-in for
+                get-kgml's KEGG fetch; idempotent MERGE like
+                call.py:38-39's skip-if-exists)
+  parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
+  parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
+  convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
+  pagerank|cc|lpa|triangles
+                graph algorithms over an edge warehouse, with
+                checkpoint/resume
+
+Usage (cluster):
+  spark-submit --py-files knext_spark.zip main.py <verb> [options]
+Local:
+  python main.py <verb> [options]
+
+All verbs build plans only; no driver-side data loops (TSV export is
+the explicitly-small compat path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _spark(args) -> SparkSession:
+    from knext_spark.session import get_spark
+
+    # under spark-submit the master comes from the submit conf
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return get_spark("knext_spark_cli", master=args.master)
+
+
+def cmd_ingest(args):
+    from knext_spark.corpus import gen_docs_df
+    from knext_spark.corpus.table import write_docs
+
+    spark = _spark(args)
+    docs = gen_docs_df(spark, args.n_docs, seed=args.seed, scale=args.scale)
+    n = write_docs(
+        docs, args.table, mode="append" if args.append else "overwrite",
+        idempotent=args.append,
+    )
+    print(json.dumps({"ingested_rows": n, "table": args.table}))
+
+
+def _parse(args, mixed: bool):
+    from knext_spark.corpus.table import read_docs
+    from knext_spark.knext import build_edges, quarantine_docs
+    from knext_spark.knext.sinks import export_tsv_per_doc, write_edges_warehouse
+    from knext_spark.parse import parse_docs
+
+    spark = _spark(args)
+    parsed = parse_docs(read_docs(spark, args.table))
+    edges = build_edges(parsed, mixed=mixed, unique=args.unique)
+    write_edges_warehouse(edges, args.out)
+    quarantine_docs(parsed).write.mode("overwrite").parquet(args.out + "_quarantine")
+    if args.tsv_dir:
+        export_tsv_per_doc(edges, args.tsv_dir)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"edges": n, "warehouse": args.out, "mixed": mixed}))
+
+
+def cmd_convert(args):
+    from knext_spark.corpus.mappings import MAPPING_SCHEMA
+    from knext_spark.knext.convert import NCBI_PREFIX, UP_PREFIX, convert_edges
+
+    spark = _spark(args)
+    edges = spark.read.parquet(args.edges)
+    mapping = spark.read.parquet(args.mapping) if args.mapping.endswith(
+        ".parquet"
+    ) or "/" in args.mapping else spark.createDataFrame([], MAPPING_SCHEMA)
+    prefix = UP_PREFIX if args.uniprot else NCBI_PREFIX
+    out = convert_edges(
+        edges.select("entry1", "entry2", "type", "value", "name", "out_seq"),
+        mapping,
+        args.species,
+        prefix=prefix,
+        unique=args.unique,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"converted": spark.read.parquet(args.out).count()}))
+
+
+def _edges_df(spark, path):
+    e = spark.read.parquet(path)
+    cols = e.columns
+    if "src" not in cols and "entry1" in cols:
+        e = e.select(
+            F.col("entry1").alias("src"),
+            F.col("entry2").alias("dst"),
+            (F.col("weight") if "weight" in cols else F.lit(1.0)).alias("weight"),
+        )
+    return e
+
+
+def cmd_graph(args):
+    from knext_spark.graph import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+
+    spark = _spark(args)
+    edges = _edges_df(spark, args.edges)
+    if args.verb == "pagerank":
+        res = pagerank(
+            spark,
+            edges.dropDuplicates(["src", "dst"]),
+            alpha=args.alpha,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id,
+            resume=args.resume,
+            salt_k=args.salt_k,
+            cadence=args.cadence,
+        )
+    elif args.verb == "cc":
+        res = connected_components(
+            spark, edges, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume, cadence=args.cadence,
+        )
+    elif args.verb == "lpa":
+        res = label_propagation(
+            spark, edges, max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
+            resume=args.resume, cadence=args.cadence,
+        )
+    else:  # triangles
+        triangle_count(edges).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return
+    res.state.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "iterations": res.iterations,
+                "converged": res.converged,
+                "last_metrics": res.metrics[-1] if res.metrics else None,
+            }
+        )
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="knext_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("ingest")
+    s.add_argument("--table", required=True)
+    s.add_argument("--n-docs", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--scale", type=float, default=1.0)
+    s.add_argument("--append", action="store_true")
+    s.set_defaults(fn=cmd_ingest)
+
+    for verb, mixed in (("parse-genes", False), ("parse-mixed", True)):
+        s = sub.add_parser(verb)
+        s.add_argument("--table", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--unique", action="store_true")
+        s.add_argument("--tsv-dir", default=None)
+        s.set_defaults(fn=lambda a, m=mixed: _parse(a, m))
+
+    s = sub.add_parser("convert")
+    s.add_argument("--edges", required=True)
+    s.add_argument("--mapping", required=True)
+    s.add_argument("--species", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--uniprot", action="store_true")
+    s.add_argument("--unique", action="store_true")
+    s.set_defaults(fn=cmd_convert)
+
+    for verb in ("pagerank", "cc", "lpa", "triangles"):
+        s = sub.add_parser(verb)
+        s.add_argument("--edges", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--checkpoint-dir", default="/tmp/knext_ckpt")
+        s.add_argument("--run-id", default="cli")
+        s.add_argument("--resume", action="store_true")
+        s.add_argument("--cadence", type=int, default=1)
+        s.add_argument("--max-iter", type=int, default=100)
+        s.add_argument("--alpha", type=float, default=0.85)
+        s.add_argument("--tol", type=float, default=1.0e-6)
+        s.add_argument("--salt-k", default=1)
+        s.set_defaults(fn=cmd_graph)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -142,6 +142,66 @@ def _commit_of(repo: str, path: str, seed: int) -> str:
     return hashlib.sha256(f"{repo}\x00{path}\x00{seed}".encode()).hexdigest()[:12]
 
 
+def gen_docs_df(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    orgs: tuple[str, ...] = ("tsa", "tsb", "tsc"),
+    scale: float = 1.0,
+):
+    """DISTRIBUTED corpus generator: one task per range-partition, each
+    generating its slice of documents (per-doc rng seeded by
+    (seed, doc index) — deterministic regardless of partitioning).
+
+    This is the 10^12-file design: the driver never holds documents;
+    ``spark.range(n).mapInPandas`` fans generation across executors,
+    and the same job shape ingests real files at scale (replace the
+    generator body with a fetch). Returns docs(repo, path, commit,
+    lang, content)."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    from knext_spark.corpus.table import DOCS_SCHEMA
+
+    n_part = spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        import random as _random
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                org = orgs[i % len(orgs)]
+                number = 100 + i
+                rng = _random.Random(f"{seed}:{i}")
+                zero = i % 10 == 7
+                content = gen_kgml_doc(
+                    org,
+                    number,
+                    rng,
+                    n_genes=max(3, int(12 * scale)),
+                    n_compounds=max(1, int(3 * scale)),
+                    n_relations=0 if zero else max(4, int(18 * scale)),
+                    zero_relations=zero,
+                )
+                repo = f"kegg/{org}"
+                path = f"pathways/{org}{number:07d}.xml"
+                rows.append(
+                    (repo, path, _commit_of(repo, path, seed), "xml", content)
+                )
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in DOCS_SCHEMA.fields]
+            )
+
+    return (
+        spark.range(n_docs)
+        .repartition(n_part)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
+
+
 def gen_corpus_rows(
     n_docs: int = 20,
     seed: int = 42,

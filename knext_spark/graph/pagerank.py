@@ -138,7 +138,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new = new.localCheckpoint(eager=True)
+        # lazy localCheckpoint: the L1 aggregate below is the ONE action
+        # per superstep — it materializes the checkpoint (truncating
+        # lineage) and returns the convergence metric in the same job
+        new = new.localCheckpoint(eager=False)
         delta = (
             new.join(ranks.withColumnRenamed("rank", "prev"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))

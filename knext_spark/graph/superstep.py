@@ -143,11 +143,16 @@ class SuperstepRunner:
         for k in range(start_k + 1, max_iters + 1):
             t0 = time.time()
             new_state, m = step(state, k)
+            step_wall = time.time() - t0
             if k % self.cadence == 0 or converged(m) or k == max_iters:
-                state = self._commit(new_state, k, m, time.time() - t0)
+                state = self._commit(new_state, k, m, step_wall)
             else:
-                state = new_state.localCheckpoint(eager=True)
-                self.metrics.append({"iteration": k, **m})
+                # step() is responsible for having materialized
+                # new_state (lazy localCheckpoint + its own action)
+                state = new_state
+                self.metrics.append(
+                    {"iteration": k, "wall_s": round(step_wall, 4), **m}
+                )
             if converged(m):
                 is_converged = True
                 break

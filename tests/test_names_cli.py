@@ -1,0 +1,46 @@
+"""Display-name enrichment (J4/P15 intended behavior) + CLI parser."""
+
+from __future__ import annotations
+
+from knext_spark.knext.names import add_names, synth_names_rows
+
+
+def test_add_names_column_order_and_misses(spark, parsed_docs):
+    from knext_spark.knext import build_edges
+
+    edges = build_edges(parsed_docs, mixed=True, unique=True).limit(50)
+    nodes = [
+        r["n"]
+        for r in edges.selectExpr("explode(array(entry1, entry2)) as n").collect()
+    ]
+    names = spark.createDataFrame(
+        synth_names_rows(nodes), "node string, display_name string"
+    )
+    out = add_names(edges, names)
+    # reference _add_names column order (genes.py:243-245)
+    assert out.columns[:4] == ["entry1", "entry1_name", "entry2", "entry2_name"]
+    rows = out.collect()
+    assert len(rows) == 50
+    named = {r["entry1"]: r["entry1_name"] for r in rows}
+    for node, dn in named.items():
+        if node.split("-")[0].startswith("undefined") or node == "nan":
+            assert dn is None  # miss -> null (reference NaN)
+        elif node.split("-")[0].startswith("cpd:"):
+            assert dn.startswith("Compound ")
+
+
+def test_cli_parser_all_verbs():
+    from knext_spark.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["ingest", "--table", "/t", "--n-docs", "5"])
+    assert a.verb == "ingest" and a.n_docs == 5
+    a = p.parse_args(["parse-genes", "--table", "/t", "--out", "/o", "--unique"])
+    assert a.unique
+    a = p.parse_args(
+        ["convert", "--edges", "/e", "--mapping", "/m", "--species", "hsa",
+         "--out", "/o", "--uniprot"]
+    )
+    assert a.uniprot
+    a = p.parse_args(["pagerank", "--edges", "/e", "--out", "/o", "--resume"])
+    assert a.resume and a.alpha == 0.85
