@@ -53,7 +53,8 @@ def _build_kgml_edges(spark, sf: float, n_docs: int | None = None, scale: float 
     ).dropDuplicates(["src", "dst"])
 
 
-def _pagerank_throughput(spark, edges, cadence=50, max_iter=100, tol=1.0e-6):
+def _pagerank_throughput(spark, edges, cadence=50, max_iter=100, tol=1.0e-6,
+                         num_partitions=None):
     from knext_spark.graph import pagerank
 
     n_edges = edges.count()
@@ -66,6 +67,7 @@ def _pagerank_throughput(spark, edges, cadence=50, max_iter=100, tol=1.0e-6):
         cadence=cadence,
         max_iter=max_iter,
         tol=tol,
+        num_partitions=num_partitions,
     )
     res.state.count()
     wall = time.time() - t0
@@ -169,13 +171,29 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     from knext_spark.session import get_spark
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # compute-bound configuration: a large distributed-generated corpus
-    # (SPARK_GRAFT_SCALE_DOCS docs, scale 3) so each superstep is
-    # dominated by the edge-contribution join, not fixed job latency;
-    # IDENTICAL shuffle partitioning at both levels (only task slots
-    # differ), like a real N -> 4N executor comparison
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "30000"))
+    # compute-bound configuration: the edge table must be big enough
+    # that each superstep is dominated by the edge-contribution join,
+    # not by fixed job-launch/shuffle latency (profiled floor ~1.8s on
+    # this host). The corpus is generated ONCE (distributed, at the
+    # wider level) and written to a shared Parquet edge table: both
+    # levels read the IDENTICAL input with IDENTICAL partitioning
+    # (shuffle partitions 64, rank/edge co-partitioning 64) — only task
+    # slots differ, like a real N -> 4N executor comparison.
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    supersteps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "10"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    edge_dir = tempfile.mkdtemp(prefix="bench_scale_edges_")
+    spark = get_spark(
+        "bench_scale_gen", master=f"local[{max(levels)}]", shuffle_partitions=64
+    )
+    # mixed mode: pure-Catalyst edge build (no per-doc propagation) —
+    # the scaling subject is PageRank superstep throughput
+    _build_kgml_edges(
+        spark, sf, n_docs=n_docs, scale=3.0, mixed=True
+    ).write.mode("overwrite").parquet(edge_dir)
+    spark.stop()
+
     out = {}
     for cpus in levels:
         spark = get_spark(
@@ -183,15 +201,18 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
             master=f"local[{cpus}]",
             shuffle_partitions=64,
         )
-        # mixed mode: pure-Catalyst edge build (no per-doc propagation) —
-        # the scaling subject is PageRank superstep throughput
-        edges = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True).persist()
+        edges = spark.read.parquet(edge_dir).persist()
         n_edges = edges.count()
         samples = []
         for r in range(runs):
-            # tol=0: fixed 12 supersteps (throughput measurement, not
+            # tol=0: fixed supersteps (throughput measurement, not
             # convergence — N*tol auto-converges instantly at bench N)
-            samples.append(_pagerank_throughput(spark, edges, max_iter=12, tol=0.0))
+            samples.append(
+                _pagerank_throughput(
+                    spark, edges, max_iter=supersteps, tol=0.0,
+                    num_partitions=64,
+                )
+            )
         samples.sort(key=lambda s: s["edges_per_sec"])
         med = samples[len(samples) // 2]
         out[f"local[{cpus}]"] = {k: round(v, 3) for k, v in med.items()}
