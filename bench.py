@@ -307,7 +307,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     }
 
 
-def run_refcmp(n_docs: int = 200) -> dict:
+def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
     SAME synthesized KGML corpus — genes mode, propagation on. The
@@ -315,6 +315,8 @@ def run_refcmp(n_docs: int = 200) -> dict:
     single-node throughput at the same data scale."""
     import shutil
 
+    if n_docs is None:
+        n_docs = int(os.environ.get("SPARK_GRAFT_REFCMP_DOCS", "2000"))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     import ref_runner
 
@@ -327,9 +329,9 @@ def run_refcmp(n_docs: int = 200) -> dict:
     tmp = tempfile.mkdtemp(prefix="refcmp_")
     xml_dir = os.path.join(tmp, "xml")
     os.makedirs(xml_dir)
-    for r in rows:
-        with open(os.path.join(xml_dir, os.path.basename(r["path"])), "w") as f:
-            f.write(r["content"])
+    for repo, path, commit, lang, content in rows:
+        with open(os.path.join(xml_dir, os.path.basename(path)), "w") as f:
+            f.write(content)
 
     t0 = time.time()
     n_ref_edges = 0
