@@ -38,8 +38,11 @@ def _large_star(e: DataFrame) -> DataFrame:
     ).distinct()
     mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
+    # mins is the small aggregated side and both sides are already
+    # shuffled on u — hash it instead of sort-merging (which would sort
+    # the full bidirectional edge list every round)
     return (
-        bidir.join(mins, "u")
+        bidir.join(mins.hint("shuffle_hash"), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
         .distinct()
@@ -52,7 +55,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).where(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        oriented.join(mins, "u")
+        oriented.join(mins.hint("shuffle_hash"), "u")
         .select(F.col("v").alias("u"), F.col("mv").alias("v"))
         .unionByName(mins.select(F.col("u"), F.col("mv").alias("v")))
         .where(F.col("u") != F.col("v"))
@@ -103,12 +106,17 @@ def connected_components(
         )
 
     prev_sig: list[tuple[int, int] | None] = [None]
+    retired: list[DataFrame] = []
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         new = _small_star(_large_star(state)).localCheckpoint(eager=True)
         sig = _signature(new)
         changed = sig != prev_sig[0]
         prev_sig[0] = sig
+        # the eager checkpoint above no longer needs its predecessor
+        while len(retired) > 1:
+            retired.pop(0).unpersist()
+        retired.append(state)
         return new, {"changed": int(changed), "rows": sig[0], "sig": sig[1]}
 
     def converged(m: dict) -> bool:

@@ -49,9 +49,13 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # partition the (static) bidirected edge list by the per-step join
+    # key once; every superstep's labels join then co-partitions against
+    # it instead of re-shuffling the edges
     bidir = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
     nodes = (
@@ -64,9 +68,15 @@ def label_propagation(
     def init_state() -> DataFrame:
         return nodes.select("node", F.col("node").alias("label"))
 
+    retired: list[DataFrame] = []
+
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         labels = state.select("node", "label")
-        msgs = bidir.join(labels, bidir["v"] == labels["node"]).select(
+        # hash the small labels side; sort-merge would sort the full
+        # edge list every superstep
+        msgs = bidir.join(
+            labels.hint("shuffle_hash"), bidir["v"] == labels["node"]
+        ).select(
             F.col("u").alias("node"), "label"
         )
         freq = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
@@ -85,6 +95,9 @@ def label_propagation(
             )
         ).localCheckpoint(eager=True)
         changed = new.where(F.col("chg")).count()
+        while len(retired) > 1:
+            retired.pop(0).unpersist()
+        retired.append(state)
         return new.select("node", "label"), {"changed": int(changed)}
 
     def converged(m: dict) -> bool:
