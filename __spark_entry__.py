@@ -15,10 +15,23 @@ parity rules used throughout:
 - integer-valued Spark columns are cast to bigint (DuckDB count/len
   return BIGINT).
 
-Graph algorithms (pagerank/cc/lpa) and the KGML parse are not
-SQL-expressible in DuckDB (iterative fixpoints / XML) — those entries
-have no oracle and get the driver's rows-only check; triangle counting
-IS expressible (3-way self-join) and gets a full oracle.
+All graph algorithms now carry full DuckDB oracles: triangle counting
+as a 3-way self-join, connected components as a WITH RECURSIVE
+transitive closure (min reachable id), and fixed-iteration PageRank /
+label propagation as programmatically unrolled CTE chains that mirror
+the engine's superstep arithmetic op-for-op (same IEEE operation
+order, so micros-rounded values match). Only the KGML parse
+(``kgml_edges``) remains rows-only: DuckDB has no XML reader, so the
+oracle side cannot parse the corpus — parity for that operator is
+covered by the byte-exact golden tests against the executed reference
+(tests/test_knext_golden.py) instead.
+
+DuckDB type parity notes: decimal literals are DECIMAL (not double) in
+DuckDB, so every float constant is cast(... as double); sum(BIGINT) is
+HUGEINT (which the driver canonicalizes as float64), so integer sums
+are wrapped in cast(... as bigint); float32 columns are reproduced with
+DuckDB's 4-byte FLOAT (verified bit-identical micros for all byte
+values).
 """
 
 from __future__ import annotations
@@ -366,6 +379,22 @@ def q_lsh_ann_buckets(spark, sf_dir):
     )
 
 
+def q_ann_multiprobe(spark, sf_dir):
+    """Multiprobe LSH ANN: same-bucket + 1-bit-flip probe candidates,
+    exact cosine re-rank (Lv et al. VLDB'07 fixed probing sequence)."""
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"), k=3, planes=4, probes=2
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _micros(F.col("cosine")).alias("cosine_micros"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from knext_spark.pipeline import embedding_near_dups
 
@@ -382,11 +411,29 @@ def q_payload_stats(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Arrow-batched decode stub (mapInPandas plumbing) — rows-only."""
+    """Arrow-batched decode stub (mapInPandas plumbing).
+
+    The ``feature array<float>`` column is projected to a joined
+    micros string: the driver's pandas canonicalizer cannot sort
+    list-typed columns (unhashable), and the scalar form additionally
+    enables a full DuckDB oracle (the fake feature is sha256-byte
+    derived; DuckDB's 4-byte FLOAT reproduces the float32 rounding
+    bit-for-bit).
+    """
     from knext_spark.pipeline.multimodal import decode_features, media_from_documents
 
     media = media_from_documents(_read(spark, sf_dir, "documents"))
-    return decode_features(media, dim=8)
+    out = decode_features(media, dim=8)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_sha256",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: _micros(x.cast("double")).cast("string")),
+            ",",
+        ).alias("feature_micros"),
+    )
 
 
 # ------------------------------------------------------- graph algorithms
@@ -398,12 +445,20 @@ def q_triangles(spark, sf_dir):
     )
 
 
+_PR_ITERS = 10  # fixed-iteration contract mode; oracle unrolls the same K
+
+
 def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (tol=0, K pinned) so the unrolled
+    DuckDB oracle computes the identical K power-iteration steps —
+    deterministic cross-engine at micros precision."""
     from knext_spark.graph import pagerank
 
     res = pagerank(
         spark,
         _edge_table(spark, sf_dir),
+        tol=0.0,
+        max_iter=_PR_ITERS,
         checkpoint_dir=tempfile.mkdtemp(prefix="q_pr_"),
         run_id="q",
         cadence=50,
@@ -479,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_buckets": q_lsh_ann_buckets,
+        "ann_multiprobe": q_ann_multiprobe,
         "embedding_near_dups": q_embedding_near_dups,
         "payload_stats": q_payload_stats,
         "media_features": q_media_features,
@@ -655,6 +711,121 @@ def _jaccard_sql(threshold: float, with_lsh: bool) -> str:
     """
 
 
+def _media_features_sql(dim: int = 8) -> str:
+    """The fake decoder's feature[i] = float32(byte_i(sha256(payload)) / 255.0)
+    with payload = utf-8 bytes of text; dim=8 <= 32 so one digest
+    suffices. DuckDB FLOAT is IEEE float32 — micros verified identical
+    for all 256 byte values."""
+    vals = ", ".join(
+        f"cast(floor(cast(cast((('0x' || substr(sha256(text), {2 * i + 1}, 2))::int) / 255.0 as float) as double)"
+        f" * 1000000 + 0.5) as bigint)::varchar"
+        for i in range(dim)
+    )
+    return f"""
+    select cast(doc_id as varchar) as media_id,
+           case (doc_id % 3 + 1)
+             when 1 then 'image' when 2 then 'audio' else 'video' end as kind,
+           cast(octet_length(encode(text)) as bigint) as n_bytes,
+           sha256(text) as payload_sha256,
+           concat_ws(',', {vals}) as feature_micros
+    from documents
+    """
+
+
+def _pagerank_sql(k: int = _PR_ITERS) -> str:
+    """Unrolled K-step power iteration mirroring knext_spark.graph
+    .pagerank op-for-op: w_norm = 1.0/out_w first then rank*w_norm,
+    dangling mass via the 1 - sum(contribs) identity, rank' =
+    alpha*(contrib + dm/n) + (1-alpha)/n — identical IEEE operation
+    order, so micros match."""
+    its = []
+    for i in range(1, k + 1):
+        p = i - 1
+        # AS MATERIALIZED is load-bearing: DuckDB inlines CTEs per
+        # reference, and each r{i} references its predecessors more
+        # than once — without materialization the unrolled chain
+        # re-evaluates exponentially (2^K plans)
+        its.append(f"""
+    c{i} as materialized (
+      select ne.dst as node, sum(r{p}.rank * ne.w_norm) as contrib
+      from ne join r{p} on r{p}.node = ne.src group by ne.dst
+    ),
+    s{i} as materialized (select cast(1.0 as double) - coalesce(sum(contrib), cast(0.0 as double)) as dm from c{i}),
+    r{i} as materialized (
+      select nodes.node,
+             cast(0.85 as double) * (coalesce(c{i}.contrib, cast(0.0 as double))
+                                     + (select dm from s{i}) / (select n from nn))
+             + (cast(1.0 as double) - cast(0.85 as double)) / (select n from nn) as rank
+      from nodes left join c{i} on c{i}.node = nodes.node
+    )""")
+    return f"""
+    with e as materialized ({_EDGE_SQL}),
+    outw as materialized (select src, cast(count(*) as double) as out_w from e group by src),
+    ne as materialized (select e.src, e.dst, cast(1.0 as double) / outw.out_w as w_norm
+           from e join outw on outw.src = e.src),
+    nodes as materialized (select src as node from e union select dst as node from e),
+    nn as materialized (select count(*) as n from nodes),
+    r0 as materialized (select node, cast(1.0 as double) / (select n from nn) as rank from nodes),
+    {",".join(its)}
+    select node, cast(floor(rank * 1000000 + 0.5) as bigint) as rank_micros from r{k}
+    """
+
+
+def _cc_sql() -> str:
+    """Transitive-closure connected components: component = min node id
+    reachable over the undirected edge set (string-lexicographic min,
+    matching the engine's string-id star-forest root)."""
+    return f"""
+    with recursive
+    e0 as materialized (select cast(src as varchar) as src, cast(dst as varchar) as dst
+           from ({_EDGE_SQL})),
+    nodes as materialized (select src as node from e0 union select dst as node from e0),
+    ue as materialized (select src as a, dst as b from e0 where src <> dst
+           union
+           select dst as a, src as b from e0 where src <> dst),
+    reach(node, r) as (
+      select node, node from nodes
+      union
+      select reach.node, ue.b from reach join ue on ue.a = reach.r
+    )
+    select node, min(r) as component from reach group by node
+    """
+
+
+def _lpa_sql(k: int = 10) -> str:
+    """Unrolled synchronous LPA mirroring knext_spark.graph.lpa's
+    pinned deterministic rule: label'(v) = lexicographically smallest
+    among max-frequency neighbor labels; isolated nodes keep theirs.
+    The update is idempotent at the fixpoint, so unrolling exactly
+    max_iter steps reproduces the engine's early-stopped state too."""
+    its = []
+    for i in range(1, k + 1):
+        p = i - 1
+        # AS MATERIALIZED: DuckDB inlines CTEs per reference; l{i}
+        # references l{p} twice, so the unrolled chain would otherwise
+        # re-evaluate exponentially
+        its.append(f"""
+    f{i} as materialized (select ue.a as node, l{p}.label as lbl, count(*) as cnt
+             from ue join l{p} on l{p}.node = ue.b group by 1, 2),
+    b{i} as materialized (select node, lbl from (
+               select node, lbl,
+                      row_number() over (partition by node order by cnt desc, lbl asc) as rn
+               from f{i}) where rn = 1),
+    l{i} as materialized (select l{p}.node, coalesce(b{i}.lbl, l{p}.label) as label
+             from l{p} left join b{i} on b{i}.node = l{p}.node)""")
+    return f"""
+    with e0 as materialized (select cast(src as varchar) as src, cast(dst as varchar) as dst
+                from ({_EDGE_SQL})),
+    nodes as materialized (select src as node from e0 union select dst as node from e0),
+    ue as materialized (select src as a, dst as b from e0 where src <> dst
+           union
+           select dst as a, src as b from e0 where src <> dst),
+    l0 as materialized (select node, node as label from nodes),
+    {",".join(its)}
+    select node, label from l{k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edge = _EDGE_SQL
     return {
@@ -672,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_lookup_join": """
             select p_brand, count(*) as n_items,
-                   sum(cast(floor(l_quantity) as bigint)) as sum_qty
+                   cast(sum(cast(floor(l_quantity) as bigint)) as bigint) as sum_qty
             from lineitem join part on l_partkey = p_partkey
             group by p_brand
         """,
@@ -720,8 +891,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus, count(*) as n_rows,
-                   sum(cast(floor(l_quantity) as bigint)) as sum_qty,
-                   sum(cast(floor(l_extendedprice / 1000000 * 100 * 1000000 + 0.5) as bigint)) as sum_price_cents
+                   cast(sum(cast(floor(l_quantity) as bigint)) as bigint) as sum_qty,
+                   cast(sum(cast(floor(l_extendedprice / 1000000 * 100 * 1000000 + 0.5) as bigint)) as bigint) as sum_price_cents
             from lineitem group by l_returnflag, l_linestatus
         """,
         "window_topk": """
@@ -797,6 +968,26 @@ def oracle_sql() -> dict[str, str]:
             select {_bucket_sql(4)} as bucket, count(*) as n
             from embeddings group by 1
         """,
+        "ann_multiprobe": f"""
+            with b as (select vec_id, embedding, {_bucket_sql(4)} as bucket from embeddings),
+            qp as (select vec_id as qid,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) as bucket
+                   from b),
+            cand as (select vec_id as nid, bucket from b),
+            pairs as (select distinct qp.qid, cand.nid
+                      from qp join cand using (bucket) where qp.qid <> cand.nid),
+            scored as (select p.qid, p.nid,
+                              {_COS.format(a="x.embedding", b="y.embedding")} as cosine
+                       from pairs p
+                       join b x on x.vec_id = p.qid
+                       join b y on y.vec_id = p.nid)
+            select qid as vec_id, nid as neighbor_id, rank, cosine_micros from (
+              select qid, nid,
+                     row_number() over (partition by qid order by cosine desc, nid asc) as rank,
+                     cast(floor(cosine * 1000000 + 0.5) as bigint) as cosine_micros
+              from scored
+            ) where rank <= 3
+        """,
         "embedding_near_dups": f"""
             with b as (select vec_id, embedding, {_bucket_sql(4)} as bucket from embeddings),
             pairs as (
@@ -831,7 +1022,10 @@ def oracle_sql() -> dict[str, str]:
             select nodes.node, cast(coalesce(cnt.c, 0) as bigint) as triangles
             from nodes left join cnt using (node)
         """,
-        # pagerank / connected_components / label_propagation /
-        # kgml_edges / media_features: iterative fixpoints, XML parsing,
-        # or Python-stub decoding — not DuckDB-expressible; rows-only.
+        "media_features": _media_features_sql(8),
+        "pagerank": _pagerank_sql(_PR_ITERS),
+        "connected_components": _cc_sql(),
+        "label_propagation": _lpa_sql(10),
+        # kgml_edges: DuckDB has no XML reader — rows-only (parity is
+        # the byte-exact golden suite vs the executed reference).
     }

@@ -72,14 +72,14 @@ def _parse(args, mixed: bool):
 
 
 def cmd_convert(args):
-    from knext_spark.corpus.mappings import MAPPING_SCHEMA
     from knext_spark.knext.convert import NCBI_PREFIX, UP_PREFIX, convert_edges
 
     spark = _spark(args)
     edges = spark.read.parquet(args.edges)
-    mapping = spark.read.parquet(args.mapping) if args.mapping.endswith(
-        ".parquet"
-    ) or "/" in args.mapping else spark.createDataFrame([], MAPPING_SCHEMA)
+    # always read the given mapping path — a bad path must fail loudly
+    # (silently substituting an empty mapping would drop every row in
+    # the species-prefix purge and produce near-empty output)
+    mapping = spark.read.parquet(args.mapping)
     prefix = UP_PREFIX if args.uniprot else NCBI_PREFIX
     out = convert_edges(
         edges.select("entry1", "entry2", "type", "value", "name", "out_seq"),

@@ -20,8 +20,16 @@ Scale design:
 - dangling mass uses the stochastic identity 1 - sum(contribs) (the
   rank vector sums to 1), one single-row collect over the checkpointed
   contribution table — no per-step ranks re-scan / anti-join /
-  broadcast job; the L1 convergence delta is computed every
-  ``check_every`` supersteps (never, in fixed-iteration tol<=0 mode);
+  broadcast job;
+- convergence mode (tol > 0) is ALSO one driver action per superstep:
+  the L1 delta between the two *previous* rank vectors is fused into
+  the same job as the dangling-mass sum (a union of two single-row
+  aggregates, one collect). The check therefore lags one superstep —
+  when the lagged delta passes, the step returns its INPUT state
+  (exactly the x_m NetworkX returns: the first iterate with
+  L1(x_m - x_{m-1}) < N*tol), at the cost of one discarded
+  contribution pass on the final superstep. In fixed-iteration mode
+  (tol <= 0) no delta is computed at all;
 - hub skew: ``salt_k > 1`` splits each hub src's fan-out across k salt
   buckets — ranks are replicated k-fold (explode over [0,k)) and the
   join key becomes (src, salt), so a 1e8-out-degree hub spreads over k
@@ -111,6 +119,10 @@ def pagerank(
     # byte buffers instead of per-row heap objects)
     ser = StorageLevel.MEMORY_AND_DISK
     retired: list[DataFrame] = []
+    # rank vector of the PREVIOUS superstep's input (x_{k-2} at entry
+    # to step k) — the lagged convergence pair; kept alive because the
+    # retired list only unpersists two steps behind
+    prev_ranks: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         ranks = state.select("node", "rank")
@@ -148,15 +160,41 @@ def pagerank(
         # executors those per-superstep launch floors, not the edge
         # work, are what caps scaling.
         contribs = contribs.localCheckpoint(eager=False, storageLevel=ser)
-        dangling_mass = 1.0 - (
-            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]
-        )
+        sum_df = contribs.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("v")
+        ).select(F.lit("s").alias("tag"), "v")
+        prev = prev_ranks[0]
+        do_check = tol > 0.0 and prev is not None and (k - 1) % max(1, check_every) == 0
+        if do_check:
+            # lagged L1(x_{k-1} - x_{k-2}) fused into the dangling-mass
+            # job: union of two single-row aggregates, ONE collect
+            delta_df = (
+                ranks.join(
+                    prev.withColumnRenamed("rank", "prev").hint("shuffle_hash"),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("v"))
+                .select(F.lit("d").alias("tag"), "v")
+            )
+            sum_df = sum_df.unionByName(delta_df)
+        got = {r["tag"]: r["v"] for r in sum_df.collect()}
+        dangling_mass = 1.0 - got["s"]
+        delta = got.get("d")
         # the collect above materialized this step's inputs; layers two
         # steps back can never be re-read — free them
         while len(retired) > 2:
             retired.pop(0).unpersist()
         retired.append(contribs)
         retired.append(state)
+        prev_ranks[0] = ranks
+        if delta is not None and float(delta) < n * tol:
+            # step k-1 converged: return its output (this step's input)
+            # unchanged — identical to NetworkX's stopping iterate
+            return ranks, {
+                "l1_delta": float(delta),
+                "n_nodes": n,
+                "dangling_mass": dangling_mass,
+            }
         new = (
             nodes.join(
                 contribs.hint("shuffle_hash"), nodes["node"] == contribs["dst"], "left"
@@ -174,21 +212,12 @@ def pagerank(
             )
         )
         # lazy localCheckpoint truncates lineage (LogicalRDD) without an
-        # eager job
+        # eager job — the next superstep's fused collect materializes it
         new = new.localCheckpoint(eager=False, storageLevel=ser)
-        # Convergence test adds an extra co-partitioned join + global
-        # agg + collect per superstep. In fixed-iteration mode
-        # (tol <= 0) or between check points (k % check_every != 0) it
-        # is skipped: the dangling-mass collect above stays the single
-        # per-superstep action.
-        if tol <= 0.0 or k % max(1, check_every) != 0:
-            return new, {"n_nodes": n, "dangling_mass": dangling_mass}
-        delta = (
-            new.join(ranks.withColumnRenamed("rank", "prev").hint("shuffle_hash"), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
-            .collect()[0]["l1"]
-        )
-        return new, {"l1_delta": float(delta), "n_nodes": n, "dangling_mass": dangling_mass}
+        m = {"n_nodes": n, "dangling_mass": dangling_mass}
+        if delta is not None:
+            m["l1_delta"] = float(delta)  # lagged: L1 of superstep k-1
+        return new, m
 
     def converged(m: dict) -> bool:
         return m.get("l1_delta", float("inf")) < n * tol

@@ -17,6 +17,15 @@ edges collapsed, self-loops dropped, direction ignored).
 
 Shuffles: 2 for degrees+orientation, 1 wedge self-join (keyed on
 apex), 1 closing join (keyed on (lo, hi)), 1 final per-vertex agg.
+
+Cache hygiene: nothing is persisted here. The multiply-consumed
+subtrees (``und``, ``deg``) end in shuffle exchanges that Spark's
+ReuseExchange rule computes once per job regardless; the ``oriented``
+projection is re-derived per consumer from those shared exchanges
+(cheap map-side work). Persisting them instead would leak
+block-manager memory past the call in long-lived sessions — callers
+invoking triangle_count repeatedly on the same graph should persist
+the INPUT edge frame.
 """
 
 from __future__ import annotations
@@ -33,7 +42,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
     # nodes from RAW endpoints: a vertex whose only edges are self-loops
     # still exists in the graph (count 0), matching nx.triangles
@@ -58,7 +66,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
-    ).persist()
+    )
 
     o1 = oriented.select(
         F.col("lo").alias("apex"), F.col("hi").alias("x"), F.col("deg_hi").alias("dx")

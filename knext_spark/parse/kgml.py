@@ -177,9 +177,21 @@ def _parse_arrow(docs: DataFrame) -> DataFrame:
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
+                doc_id = hashlib.sha256(
+                    "\x00".join([repo, path, commit]).encode()
+                ).hexdigest()
                 try:
                     root = ET.fromstring(content)
                 except ET.ParseError:
+                    # native from_xml parity: a malformed document
+                    # yields a row with null parsed fields (not a
+                    # silently vanished doc), so quarantine_docs
+                    # catches it on either engine — reference behavior
+                    # (/root/reference/src/knext/genes.py:328-330)
+                    out.append(
+                        (doc_id, repo, path, commit, None, None, None,
+                         None, None, None)
+                    )
                     continue
                 entries = []
                 for e in root.findall("entry"):
@@ -205,9 +217,6 @@ def _parse_arrow(docs: DataFrame) -> DataFrame:
                     for r in root.findall("relation")
                 ]
                 name = root.get("name") or ""
-                doc_id = hashlib.sha256(
-                    "\x00".join([repo, path, commit]).encode()
-                ).hexdigest()
                 out.append(
                     (
                         doc_id,

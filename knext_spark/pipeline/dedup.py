@@ -125,6 +125,7 @@ def ngram_jaccard_pairs(
     w: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_posting: int = 10000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
@@ -132,10 +133,37 @@ def ngram_jaccard_pairs(
     self-join on shingle, group to intersection counts) — generates
     only pairs sharing >= 1 shingle. With ``candidates`` (e.g. from
     LSH): verifies just those pairs. Returns (a, b, jaccard >= threshold).
+
+    ``max_posting`` caps the inverted-index posting lists: a shingle
+    appearing in more documents than this is boilerplate, not
+    duplication, and its posting list alone would generate O(list^2)
+    pairs — the quadratic hot-key blowup at 100 TB. Pruned shingles
+    still count toward each document's shingle-set SIZE (the Jaccard
+    denominator stays exact); only the intersection contribution of the
+    hot shingle is lost, which can only LOWER a pair's estimated
+    jaccard — a pair of true near-duplicates shares many non-boilerplate
+    shingles and still surfaces. Mirrors ``max_bucket`` in
+    ``lsh_candidate_pairs``; the prune is logged, not silent.
     """
     sh = df.select(key, shingles_col(text_col, w).alias("shs"))
     sizes = sh.select(key, F.size("shs").alias("n"))
     ex = sh.select(key, F.explode("shs").alias("sh"))
+    if candidates is None and max_posting is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") > max_posting)
+            .select("sh")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: pruning %d shingle(s) with posting "
+                "list > %d (boilerplate guard)", n_hot, max_posting,
+            )
+            ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     pa = ex.select(F.col(key).alias("a"), "sh")
     pb = ex.select(F.col(key).alias("b"), "sh")
     inter = (

@@ -8,9 +8,12 @@
   [-1, 1]) hash each vector to a P-bit bucket; candidates share a
   bucket; exact cosine re-ranks within bucket (raw doubles — both engines fold
   in index order, so values are bit-identical for oracle parity). Recall is tunable by P
-  and by probing multiple buckets (here: the exact bucket; multiprobe
-  is a TODO knob). At 1e9 vectors this is the standard design (bucket
-  join instead of n^2).
+  and by ``probes``: multiprobe LSH (Lv et al., VLDB'07) additionally
+  probes the Hamming-adjacent buckets (1-bit flips of the P-bit code) —
+  the query side explodes to 1 + probes buckets while the candidate
+  side stays single-bucket, so the join fan-out grows linearly in
+  probes, not quadratically. At 1e9 vectors this is the standard design
+  (bucket join instead of n^2).
 - ``embedding_near_dups``: cosine >= threshold pairs via the same LSH
   bucketing (near-dup dedup on embeddings).
 
@@ -93,29 +96,61 @@ def lsh_bucket(vec: Column, planes: int) -> Column:
     return bucket
 
 
+def probe_buckets(bucket: Column, planes: int, probes: int) -> Column:
+    """The multiprobe set: the exact bucket plus the first ``probes``
+    1-bit-flip neighbors (flip order = plane index — the standard
+    fixed probing sequence; a perturbation-ranked sequence is the
+    full Lv et al. refinement)."""
+    flips = [bucket]
+    for p in range(min(probes, planes)):
+        flips.append(bucket.bitwiseXOR(F.lit(2**p)))
+    return F.array_distinct(F.array(*flips))
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     k: int = 5,
     planes: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, exact cosine
-    re-rank within. Returns (vec_id, neighbor_id, rank, cosine,
+    """Approximate top-k: candidates = same LSH bucket (plus the
+    ``probes`` Hamming-adjacent buckets of the query's code), exact
+    cosine re-rank within. Returns (vec_id, neighbor_id, rank, cosine,
     bucket). Recall < 1 by design; the exactness oracle is
-    cosine_topk."""
+    cosine_topk. The candidate side is NOT exploded — only queries
+    probe extra buckets, so candidate storage and shuffle volume stay
+    one row per vector."""
+    # no persist: the bucketed projection is pure scan-side work that
+    # both join inputs recompute within the one consuming job — caching
+    # it here would leak block-manager memory past the call (callers
+    # that consume the result repeatedly should cache the RESULT)
     b = emb.select(
         F.col(key).alias("qid"),
         F.col(vec).alias("qv"),
         lsh_bucket(F.col(vec), planes).alias("bucket"),
-    ).persist()
+    )
+    q = b
+    if probes > 0:
+        q = b.select(
+            "qid",
+            "qv",
+            F.explode(probe_buckets(F.col("bucket"), planes, probes)).alias("bucket"),
+        )
     c = b.select(
         F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket"
     )
-    pairs = b.join(c, "bucket").where(F.col("qid") != F.col("nid"))
+    pairs = q.join(c, "bucket").where(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid", "nid", "bucket", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
     )
+    if probes > 0:
+        # a (q, n) pair can collide in several probed buckets — keep
+        # one row per pair (the candidate's own bucket is reported)
+        scored = scored.groupBy("qid", "nid").agg(
+            F.min("bucket").alias("bucket"), F.first("cosine").alias("cosine")
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

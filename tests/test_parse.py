@@ -90,3 +90,29 @@ def test_quarantine(parsed_docs, corpus_rows):
     assert len(q) >= 1
     for r in q:
         assert "cannot be parsed" in r["error"]
+
+
+def _with_malformed(corpus_rows):
+    rows = list(corpus_rows)
+    rows.append(
+        ("repoX", "kgml/broken.xml", "deadbeef", "xml", "<pathway><unclosed")
+    )
+    return rows
+
+
+def test_quarantine_malformed_both_engines(spark, corpus_rows):
+    """A syntactically malformed document must surface as a quarantined
+    row (null parsed fields) on BOTH parse engines — round-1 finding:
+    the Arrow fallback silently dropped it (reference parity:
+    /root/reference/src/knext/genes.py:328-330 skips-with-error, it
+    never vanishes a file)."""
+    import pytest
+    from knext_spark.knext import quarantine_docs
+
+    rows = _with_malformed(corpus_rows)
+    docs = docs_from_rows(spark, rows)
+    for engine in ("native", "arrow"):
+        parsed = parse_docs(docs, engine=engine)
+        assert parsed.count() == len(rows), engine  # nothing vanishes
+        q = {r["path"] for r in quarantine_docs(parsed).collect()}
+        assert "kgml/broken.xml" in q, engine

@@ -1,0 +1,148 @@
+"""Round-2 operator hardening tests: posting-list caps, multiprobe
+LSH recall, partitioned TSV export parity, cache hygiene."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- ngram posting cap
+def _boiler_docs(spark):
+    common = "shared boiler plate sentence repeated across every doc"
+    rows = [(i, f"{common} unique{i} token{i} word{i}") for i in range(30)]
+    # one true near-dup pair: shared UNIQUE content (low-df shingles)
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_posting_cap_bounds_pairs(spark):
+    from knext_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _boiler_docs(spark)
+    uncapped = ngram_jaccard_pairs(
+        docs, w=3, threshold=0.01, max_posting=None
+    ).collect()
+    capped = ngram_jaccard_pairs(
+        docs, w=3, threshold=0.01, max_posting=5
+    ).collect()
+    # without the cap the boilerplate shingle makes all 30 docs pairwise
+    # candidates (quadratic blowup); with it only low-df evidence counts
+    assert len(uncapped) >= 30 * 29 // 2
+    assert len(capped) < len(uncapped)
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    # the genuine near-dup pair (shared low-df shingles) must survive
+    assert (100, 101) in capped_pairs
+    # boilerplate-only pairs must be gone
+    assert not any(a < 100 and b < 100 for a, b in capped_pairs)
+
+
+def test_ngram_cap_noop_below_threshold(spark):
+    """On the real documents table no shingle reaches the default cap,
+    so the capped and uncapped results are identical (keeps the
+    driver's ngram_jaccard contract row byte-stable)."""
+    from knext_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, w=3, threshold=0.1).collect()
+    )
+    b = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, w=3, threshold=0.1, max_posting=None
+        ).collect()
+    )
+    assert a == b
+
+
+# ------------------------------------------------- multiprobe LSH ANN
+def _recall(approx, exact):
+    want = {(r["vec_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    return len(got & want) / len(want)
+
+
+def test_multiprobe_improves_recall(spark):
+    from knext_spark.pipeline import cosine_topk
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3).collect()
+    # measured on this table (500 vecs, deterministic md5 hyperplanes):
+    # planes=3: 0.239 / 0.507 / 0.633 recall at probes 0 / 2 / 3
+    # planes=6: 0.063 -> 0.276 at probes 0 -> 6 (monotone)
+    r0 = _recall(lsh_ann_topk(emb, k=3, planes=3, probes=0).collect(), exact)
+    r2 = _recall(lsh_ann_topk(emb, k=3, planes=3, probes=2).collect(), exact)
+    r3 = _recall(lsh_ann_topk(emb, k=3, planes=3, probes=3).collect(), exact)
+    assert r2 > r0  # probing 1-bit-adjacent buckets recovers neighbors
+    assert r3 >= r2  # monotone in probes
+    assert r3 > 0.5  # and lands in a useful range on this table
+
+
+def test_multiprobe_zero_is_plain_lsh(spark):
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_ann_topk(emb, k=3, planes=4, probes=0).collect()
+    )
+    assert len(a) > 0
+
+
+# ------------------------------------- partitioned TSV export parity
+def test_export_tsv_partitioned_order_and_content(parsed_docs, tmp_path):
+    from knext_spark.knext import build_edges
+    from knext_spark.knext.sinks import TSV_COLS, export_tsv_partitioned
+
+    edges = build_edges(parsed_docs, mixed=False, unique=True)
+    out = str(tmp_path / "tsv_part")
+    export_tsv_partitioned(edges, out)
+
+    expected: dict[str, list] = {}
+    for r in edges.orderBy("pathway", "out_seq").collect():
+        expected.setdefault(r["pathway"], []).append(
+            ["" if r[c] is None else str(r[c]) for c in TSV_COLS]
+        )
+    got: dict[str, list] = {}
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("pathway="):
+            continue
+        pw = d.split("=", 1)[1]
+        parts = sorted(
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".csv")
+        )
+        assert len(parts) == 1, (pw, parts)  # one task writes each pathway
+        with open(os.path.join(out, d, parts[0]), newline="") as f:
+            rows = list(csv.reader(f, delimiter="\t"))
+        assert rows[0] == TSV_COLS
+        got[pw] = [["" if v == "" else v for v in row] for row in rows[1:]]
+    assert set(got) == set(expected)
+    for pw in expected:
+        assert got[pw] == expected[pw], pw  # per-file order == out_seq order
+
+
+# ----------------------------------------------------- cache hygiene
+def test_no_retained_rdds_after_calls(spark):
+    from knext_spark.graph import triangle_count
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_orderkey") % 100).alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    triangle_count(edges).collect()
+    lsh_ann_topk(emb, k=2, planes=4, probes=2).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before  # no block-manager residue from either call
