@@ -28,8 +28,14 @@ Scale design:
   when the lagged delta passes, the step returns its INPUT state
   (exactly the x_m NetworkX returns: the first iterate with
   L1(x_m - x_{m-1}) < N*tol), at the cost of one discarded
-  contribution pass on the final superstep. In fixed-iteration mode
-  (tol <= 0) no delta is computed at all;
+  contribution pass on the final superstep. Fixed-iteration mode
+  (tol <= 0) goes further — COLLECT-FREE supersteps: dangling mass
+  rides as a broadcast 1-row aggregate inside the plan, supersteps
+  chain lazily (Catalyst plan stays O(1) via LogicalRDD; deferral
+  lives in RDD lineage), and a single count() every ``sync_every``
+  steps materializes the chain — per-superstep driver/job-launch
+  cost, the serial term that caps N->4N scaling, divides by
+  sync_every;
 - hub skew: ``salt_k > 1`` splits each hub src's fan-out across k salt
   buckets — ranks are replicated k-fold (explode over [0,k)) and the
   join key becomes (src, salt), so a 1e8-out-degree hub spreads over k
@@ -78,6 +84,7 @@ def pagerank(
     cadence: int = 1,
     num_partitions: int | None = None,
     check_every: int = 1,
+    sync_every: int = 4,
 ) -> SuperstepResult:
     """edges(src, dst, weight) -> SuperstepResult with state
     (node, rank). Parallel (src,dst) duplicates are NOT collapsed here
@@ -159,6 +166,48 @@ def pagerank(
         # ranks-scan + anti-join + broadcast-await job — at 1000
         # executors those per-superstep launch floors, not the edge
         # work, are what caps scaling.
+        if tol <= 0.0:
+            # Collect-free fixed-iteration superstep: ZERO driver
+            # actions between sync points. Dangling mass rides as a
+            # broadcast 1-row aggregate (the stochastic identity as a
+            # plan subtree); ReuseExchange shares the contribution
+            # shuffle between that aggregate and the rank join, and the
+            # lazy localCheckpoint keeps the Catalyst plan O(1)
+            # (LogicalRDD) while the RDD chain defers execution. Every
+            # ``sync_every`` supersteps one count() materializes the
+            # chain (bounds broadcast-await depth + block-manager
+            # growth); per-superstep job-launch cost drops by that
+            # factor — the serial term that caps N->4N scaling.
+            dm_df = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
+            )
+            new = (
+                nodes.join(
+                    contribs.hint("shuffle_hash"),
+                    nodes["node"] == contribs["dst"],
+                    "left",
+                )
+                .crossJoin(F.broadcast(dm_df))
+                .select(
+                    "node",
+                    (
+                        F.lit(alpha)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                        + F.lit((1.0 - alpha) / n)
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=False, storageLevel=ser)
+            retired.append(state)
+            if k % max(1, sync_every) == 0 or k == max_iter:
+                new.count()
+                # chain materialized: every retired layer's blocks are
+                # now superseded by the current state's
+                while len(retired) > 1:
+                    retired.pop(0).unpersist()
+            return new, {"n_nodes": n}
         contribs = contribs.localCheckpoint(eager=False, storageLevel=ser)
         sum_df = contribs.agg(
             F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("v")

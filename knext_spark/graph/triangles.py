@@ -18,14 +18,17 @@ edges collapsed, self-loops dropped, direction ignored).
 Shuffles: 2 for degrees+orientation, 1 wedge self-join (keyed on
 apex), 1 closing join (keyed on (lo, hi)), 1 final per-vertex agg.
 
-Cache hygiene: nothing is persisted here. The multiply-consumed
-subtrees (``und``, ``deg``) end in shuffle exchanges that Spark's
-ReuseExchange rule computes once per job regardless; the ``oriented``
-projection is re-derived per consumer from those shared exchanges
-(cheap map-side work). Persisting them instead would leak
-block-manager memory past the call in long-lived sessions — callers
-invoking triangle_count repeatedly on the same graph should persist
-the INPUT edge frame.
+Cache hygiene: nothing is persisted here (persisting would leak
+block-manager memory past the call in long-lived sessions). Instead,
+each multiply-consumed subtree is terminated with an EXPLICIT shuffle
+exchange (``repartition``) so Spark's ReuseExchange rule computes it
+once per job and every consumer reads the shuffle files: ``und`` is
+consumed 3x (degrees, both sides of the orientation join) and
+``oriented`` 3x (both wedge sides + the closing join). The
+``repartition("lo")`` on ``oriented`` doubles as co-partitioning for
+the wedge self-join (both sides keyed on the apex — zero additional
+exchange). Callers invoking triangle_count repeatedly on the same
+graph should persist the INPUT edge frame.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .repartition("a")  # explicit exchange: ReuseExchange point
     )
     # nodes from RAW endpoints: a vertex whose only edges are self-loops
     # still exists in the graph (count 0), matching nx.triangles
@@ -66,7 +70,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
-    )
+    ).repartition("lo")  # reused 3x + co-partitions the wedge self-join
 
     o1 = oriented.select(
         F.col("lo").alias("apex"), F.col("hi").alias("x"), F.col("deg_hi").alias("dx")

@@ -24,6 +24,10 @@ DEFAULT_CONF = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # tiny-file-friendly local defaults; real clusters override
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # iterative collect-free superstep chains embed broadcast
+    # subtrees whose futures start at job submission — a multi-step
+    # chain must not trip the 300s default await
+    "spark.sql.broadcastTimeout": "3600",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
