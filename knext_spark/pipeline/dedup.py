@@ -166,14 +166,30 @@ def ngram_jaccard_pairs(
             ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     pa = ex.select(F.col(key).alias("a"), "sh")
     pb = ex.select(F.col(key).alias("b"), "sh")
-    inter = (
-        pa.join(pb, "sh")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        # Intersect ONLY the candidate pairs: fan the a-side shingle
+        # lists out over the candidate list, then hash-join the b-side
+        # index on (b, sh). Cost is O(|candidates| * shingles_per_doc),
+        # independent of posting-list sizes. (The previous left_semi
+        # AFTER the full self-join still materialized the O(posting^2)
+        # pair explosion first — Catalyst pushes a semi-join below the
+        # aggregation but cannot split its keys across the two index
+        # sides, so the blowup survived. This formulation is why
+        # LSH-verify scales at 100 TB.)
+        inter = (
+            candidates.select("a", "b")
+            .join(pa, "a")
+            .join(pb, ["b", "sh"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            pa.join(pb, "sh")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
     out = (
