@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult
+from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -107,15 +107,17 @@ def connected_components(
 
     prev_sig: list[tuple[int, int] | None] = [None]
     retired: list[DataFrame] = []
+    last_new: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         new = _small_star(_large_star(state)).localCheckpoint(eager=True)
+        last_new[0] = new
         sig = _signature(new)
         changed = sig != prev_sig[0]
         prev_sig[0] = sig
         # the eager checkpoint above no longer needs its predecessor
         while len(retired) > 1:
-            retired.pop(0).unpersist()
+            unpersist_checkpoint(retired.pop(0))
         retired.append(state)
         return new, {"changed": int(changed), "rows": sig[0], "sig": sig[1]}
 
@@ -124,6 +126,11 @@ def connected_components(
 
     runner = SuperstepRunner(spark, "cc", run_id, checkpoint_dir, cadence=cadence)
     res = runner.run(init_state, step, converged, max_iter, resume=resume)
+    for df in retired:  # committed state supersedes working layers
+        unpersist_checkpoint(df)
+    retired.clear()
+    if last_new[0] is not None:
+        unpersist_checkpoint(last_new[0])
 
     star = res.state  # (u=child, v=root) star forest at fixpoint
     labels = (

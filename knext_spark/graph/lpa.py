@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult
+from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
 
 def label_propagation(
@@ -69,6 +69,7 @@ def label_propagation(
         return nodes.select("node", F.col("node").alias("label"))
 
     retired: list[DataFrame] = []
+    last_new: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         labels = state.select("node", "label")
@@ -94,9 +95,10 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
             )
         ).localCheckpoint(eager=True)
+        last_new[0] = new
         changed = new.where(F.col("chg")).count()
         while len(retired) > 1:
-            retired.pop(0).unpersist()
+            unpersist_checkpoint(retired.pop(0))
         retired.append(state)
         return new.select("node", "label"), {"changed": int(changed)}
 
@@ -107,4 +109,9 @@ def label_propagation(
     res = runner.run(init_state, step, converged, max_iter, resume=resume)
     bidir.unpersist()
     nodes.unpersist()
+    for df in retired:  # committed state supersedes working layers
+        unpersist_checkpoint(df)
+    retired.clear()
+    if last_new[0] is not None:
+        unpersist_checkpoint(last_new[0])
     return res

@@ -28,14 +28,10 @@ Scale design:
   when the lagged delta passes, the step returns its INPUT state
   (exactly the x_m NetworkX returns: the first iterate with
   L1(x_m - x_{m-1}) < N*tol), at the cost of one discarded
-  contribution pass on the final superstep. Fixed-iteration mode
-  (tol <= 0) goes further — COLLECT-FREE supersteps: dangling mass
-  rides as a broadcast 1-row aggregate inside the plan, supersteps
-  chain lazily (Catalyst plan stays O(1) via LogicalRDD; deferral
-  lives in RDD lineage), and a single count() every ``sync_every``
-  steps materializes the chain — per-superstep driver/job-launch
-  cost, the serial term that caps N->4N scaling, divides by
-  sync_every;
+  contribution pass on the final superstep. In fixed-iteration mode
+  (tol <= 0) no delta is computed: the dangling-mass collect is the
+  single per-superstep action (a fully lazy "collect-free" chaining
+  variant measured 2-3x slower — see the note in ``step``);
 - hub skew: ``salt_k > 1`` splits each hub src's fan-out across k salt
   buckets — ranks are replicated k-fold (explode over [0,k)) and the
   join key becomes (src, salt), so a 1e8-out-degree hub spreads over k
@@ -57,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from knext_spark.graph.degrees import pick_salt_k
-from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult
+from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
 
 def _normalized_edges(edges: DataFrame, salt_k: int) -> DataFrame:
@@ -84,7 +80,6 @@ def pagerank(
     cadence: int = 1,
     num_partitions: int | None = None,
     check_every: int = 1,
-    sync_every: int = 4,
 ) -> SuperstepResult:
     """edges(src, dst, weight) -> SuperstepResult with state
     (node, rank). Parallel (src,dst) duplicates are NOT collapsed here
@@ -126,6 +121,7 @@ def pagerank(
     # byte buffers instead of per-row heap objects)
     ser = StorageLevel.MEMORY_AND_DISK
     retired: list[DataFrame] = []
+    last_new: list[DataFrame | None] = [None]
     # rank vector of the PREVIOUS superstep's input (x_{k-2} at entry
     # to step k) — the lagged convergence pair; kept alive because the
     # retired list only unpersists two steps behind
@@ -166,48 +162,17 @@ def pagerank(
         # ranks-scan + anti-join + broadcast-await job — at 1000
         # executors those per-superstep launch floors, not the edge
         # work, are what caps scaling.
-        if tol <= 0.0:
-            # Collect-free fixed-iteration superstep: ZERO driver
-            # actions between sync points. Dangling mass rides as a
-            # broadcast 1-row aggregate (the stochastic identity as a
-            # plan subtree); ReuseExchange shares the contribution
-            # shuffle between that aggregate and the rank join, and the
-            # lazy localCheckpoint keeps the Catalyst plan O(1)
-            # (LogicalRDD) while the RDD chain defers execution. Every
-            # ``sync_every`` supersteps one count() materializes the
-            # chain (bounds broadcast-await depth + block-manager
-            # growth); per-superstep job-launch cost drops by that
-            # factor — the serial term that caps N->4N scaling.
-            dm_df = contribs.agg(
-                (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
-            )
-            new = (
-                nodes.join(
-                    contribs.hint("shuffle_hash"),
-                    nodes["node"] == contribs["dst"],
-                    "left",
-                )
-                .crossJoin(F.broadcast(dm_df))
-                .select(
-                    "node",
-                    (
-                        F.lit(alpha)
-                        * (
-                            F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("dm") / F.lit(float(n))
-                        )
-                        + F.lit((1.0 - alpha) / n)
-                    ).alias("rank"),
-                )
-            ).localCheckpoint(eager=False, storageLevel=ser)
-            retired.append(state)
-            if k % max(1, sync_every) == 0 or k == max_iter:
-                new.count()
-                # chain materialized: every retired layer's blocks are
-                # now superseded by the current state's
-                while len(retired) > 1:
-                    retired.pop(0).unpersist()
-            return new, {"n_nodes": n}
+        # NOTE(measured, this sandbox, 118.9M edges @ local[8]): a
+        # "collect-free" variant — dangling mass as a broadcast 1-row
+        # aggregate, supersteps chained lazily, one count() per
+        # sync_every steps — benchmarked 2-3x SLOWER (40.7 s/step vs
+        # 21.9 same-session, 14.0 clean) than this single-collect
+        # design: Spark kicks off every broadcast-exchange future at
+        # physical-planning time (localCheckpoint), so each deferred
+        # superstep launches a broadcast job that materializes the
+        # chain anyway, and the sync job then re-executes the final
+        # map-side work. One single-row collect per superstep is the
+        # minimum driver involvement Spark's execution model rewards.
         contribs = contribs.localCheckpoint(eager=False, storageLevel=ser)
         sum_df = contribs.agg(
             F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("v")
@@ -232,7 +197,7 @@ def pagerank(
         # the collect above materialized this step's inputs; layers two
         # steps back can never be re-read — free them
         while len(retired) > 2:
-            retired.pop(0).unpersist()
+            unpersist_checkpoint(retired.pop(0))
         retired.append(contribs)
         retired.append(state)
         prev_ranks[0] = ranks
@@ -263,6 +228,7 @@ def pagerank(
         # lazy localCheckpoint truncates lineage (LogicalRDD) without an
         # eager job — the next superstep's fused collect materializes it
         new = new.localCheckpoint(eager=False, storageLevel=ser)
+        last_new[0] = new
         m = {"n_nodes": n, "dangling_mass": dangling_mass}
         if delta is not None:
             m["l1_delta"] = float(delta)  # lagged: L1 of superstep k-1
@@ -277,4 +243,13 @@ def pagerank(
     result = runner.run(init_state, step, converged, max_iter, resume=resume)
     ne.unpersist()
     nodes.unpersist()
+    # the returned state is a committed-Parquet read-back — the working
+    # checkpoint layers are dead; leaking them across calls compounds
+    # into machine-wide GC pressure over a multi-run session (measured:
+    # it inflated a later run's superstep wall by >50%)
+    for df in retired:
+        unpersist_checkpoint(df)
+    retired.clear()
+    if last_new[0] is not None:  # final step's working copy, superseded too
+        unpersist_checkpoint(last_new[0])
     return result

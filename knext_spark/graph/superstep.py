@@ -48,6 +48,26 @@ class SuperstepResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a retired checkpoint layer's blocks.
+
+    ``DataFrame.unpersist`` only clears CacheManager entries; a
+    ``localCheckpoint``-ed frame is RDD-level persisted behind a
+    LogicalRDD plan node, so its blocks otherwise linger until the
+    nondeterministic ContextCleaner pass — which at bench scale means
+    gigabytes of dead superstep state inflating GC pressure
+    (machine-wide, independent of task parallelism). Falls back to the
+    plain unpersist for CacheManager-backed frames."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    df.unpersist()
+
+
 def _iter_dir(base: str, k: int) -> str:
     return os.path.join(base, f"iter={k:05d}")
 
