@@ -258,3 +258,40 @@ def test_pagerank_sums_to_one(spark, tmp_path):
         )
         total = res.state.agg(F.sum("rank")).collect()[0][0]
         assert abs(total - 1.0) < 1e-9, gname
+
+
+def test_cc_resume_identical(spark, tmp_path):
+    """Kill-at-superstep-1 resume for connected components (north rule:
+    resumable mid-iteration). The resumed run must converge to exactly
+    the labels of an uninterrupted run."""
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    e = _edge_df(spark, pairs).select("src", "dst")
+    full = connected_components(spark, e, checkpoint_dir=str(tmp_path / "f"))
+    part = connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "p"), max_iter=1
+    )
+    assert not part.converged
+    resumed = connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    a = {r["node"]: r["component"] for r in full.state.collect()}
+    b = {r["node"]: r["component"] for r in resumed.state.collect()}
+    assert a == b
+
+
+def test_lpa_resume_identical(spark, tmp_path):
+    """Kill-at-superstep-2 resume for label propagation: synchronous
+    deterministic updates make interrupted + resumed bit-identical to
+    uninterrupted."""
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    e = _edge_df(spark, pairs).select("src", "dst")
+    full = label_propagation(spark, e, max_iter=10, checkpoint_dir=str(tmp_path / "f"))
+    part = label_propagation(spark, e, max_iter=2, checkpoint_dir=str(tmp_path / "p"))
+    resumed = label_propagation(
+        spark, e, max_iter=10, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.iterations == full.iterations
+    a = {r["node"]: r["label"] for r in full.state.collect()}
+    b = {r["node"]: r["label"] for r in resumed.state.collect()}
+    assert a == b
