@@ -395,6 +395,28 @@ def q_ann_multiprobe(spark, sf_dir):
     )
 
 
+def q_ann_multiprobe_ranked(spark, sf_dir):
+    """Perturbation-ranked multiprobe (Lv et al. VLDB'07 refinement):
+    the probed buckets flip the planes with the smallest |projection|
+    first — measurably better recall per probe than the fixed
+    plane-order sequence (tests/test_pipeline_ops.py)."""
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"),
+        k=3,
+        planes=4,
+        probes=2,
+        probe_rank="distance",
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _micros(F.col("cosine")).alias("cosine_micros"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from knext_spark.pipeline import embedding_near_dups
 
@@ -535,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ann_multiprobe": q_ann_multiprobe,
+        "ann_multiprobe_ranked": q_ann_multiprobe_ranked,
         "embedding_near_dups": q_embedding_near_dups,
         "payload_stats": q_payload_stats,
         "media_features": q_media_features,
@@ -601,15 +624,20 @@ _COS = """
 """
 
 
+def _dot_sql(p: int, vec: str = "embedding") -> str:
+    """Signed hyperplane projection, index-order fold — bit-identical
+    to knext_spark.pipeline.similarity._plane_dot."""
+    return (
+        f"list_reduce(list_transform(range(0, len({vec})), i -> "
+        f"({vec})[i+1]::double * ((('0x' || substr(md5('{p}' || ',' || i::varchar), 1, 8))::bigint"
+        f" % 2001 - 1000) / 1000.0)), (x,y) -> x+y)"
+    )
+
+
 def _bucket_sql(planes: int = 4, vec: str = "embedding") -> str:
     terms = []
     for p in range(planes):
-        dot = (
-            f"list_reduce(list_transform(range(0, len({vec})), i -> "
-            f"({vec})[i+1]::double * ((('0x' || substr(md5('{p}' || ',' || i::varchar), 1, 8))::bigint"
-            f" % 2001 - 1000) / 1000.0)), (x,y) -> x+y)"
-        )
-        terms.append(f"case when ({dot}) >= 0 then {2 ** p} else 0 end")
+        terms.append(f"case when ({_dot_sql(p, vec)}) >= 0 then {2 ** p} else 0 end")
     return "cast(" + " + ".join(terms) + " as bigint)"
 
 
@@ -736,8 +764,13 @@ def _pagerank_sql(k: int = _PR_ITERS) -> str:
     """Unrolled K-step power iteration mirroring knext_spark.graph
     .pagerank op-for-op: w_norm = 1.0/out_w first then rank*w_norm,
     dangling mass via the 1 - sum(contribs) identity, rank' =
-    alpha*(contrib + dm/n) + (1-alpha)/n — identical IEEE operation
-    order, so micros match."""
+    alpha*(contrib + dm/n) + (1-alpha)/n — same operation STRUCTURE,
+    but the accumulation order inside each engine's partial/final sum
+    aggregation is its own, so micros equality additionally relies on
+    no rank value landing within ~1e-10 of a .5 micro-rounding
+    boundary (holds on this deterministic corpus at the driver's SFs;
+    a disagreement here would indicate a boundary hit, not an
+    algorithmic divergence)."""
     its = []
     for i in range(1, k + 1):
         p = i - 1
@@ -973,6 +1006,44 @@ def oracle_sql() -> dict[str, str]:
             qp as (select vec_id as qid,
                           unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) as bucket
                    from b),
+            cand as (select vec_id as nid, bucket from b),
+            pairs as (select distinct qp.qid, cand.nid
+                      from qp join cand using (bucket) where qp.qid <> cand.nid),
+            scored as (select p.qid, p.nid,
+                              {_COS.format(a="x.embedding", b="y.embedding")} as cosine
+                       from pairs p
+                       join b x on x.vec_id = p.qid
+                       join b y on y.vec_id = p.nid)
+            select qid as vec_id, nid as neighbor_id, rank, cosine_micros from (
+              select qid, nid,
+                     row_number() over (partition by qid order by cosine desc, nid asc) as rank,
+                     cast(floor(cosine * 1000000 + 0.5) as bigint) as cosine_micros
+              from scored
+            ) where rank <= 3
+        """,
+        "ann_multiprobe_ranked": f"""
+            with b as (
+              select vec_id, embedding, {_bucket_sql(4)} as bucket,
+                     {_dot_sql(0)} as d0, {_dot_sql(1)} as d1,
+                     {_dot_sql(2)} as d2, {_dot_sql(3)} as d3
+              from embeddings
+            ),
+            margins as (
+              select vec_id, bucket, 0 as p, abs(d0) as m from b
+              union all select vec_id, bucket, 1, abs(d1) from b
+              union all select vec_id, bucket, 2, abs(d2) from b
+              union all select vec_id, bucket, 3, abs(d3) from b
+            ),
+            ranked as (
+              select vec_id, bucket, p,
+                     row_number() over (partition by vec_id order by m asc, p asc) as rnk
+              from margins
+            ),
+            qp as (
+              select vec_id as qid, bucket from b
+              union
+              select vec_id, xor(bucket, (1::bigint << p)) from ranked where rnk <= 2
+            ),
             cand as (select vec_id as nid, bucket from b),
             pairs as (select distinct qp.qid, cand.nid
                       from qp join cand using (bucket) where qp.qid <> cand.nid),

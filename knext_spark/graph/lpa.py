@@ -94,9 +94,16 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         last_new[0] = new
-        changed = new.where(F.col("chg")).count()
+        # ONE action per superstep: the lazy localCheckpoint above is
+        # materialized by the same job that counts the changed labels
+        # (mirrors pagerank's fused dangling-mass collect — an eager
+        # checkpoint plus a separate count() paid two job launches)
+        changed = (
+            new.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]["c"]
+            or 0
+        )
         while len(retired) > 1:
             unpersist_checkpoint(retired.pop(0))
         retired.append(state)

@@ -28,7 +28,13 @@ Scale design:
   when the lagged delta passes, the step returns its INPUT state
   (exactly the x_m NetworkX returns: the first iterate with
   L1(x_m - x_{m-1}) < N*tol), at the cost of one discarded
-  contribution pass on the final superstep. In fixed-iteration mode
+  contribution pass on the final superstep. Boundary (deliberate): a
+  run whose first passing delta is the pair (x_max_iter,
+  x_{max_iter-1}) would need step max_iter+1 to observe it, so it
+  reports ``converged=False`` with the correct final state — matching
+  NetworkX, which likewise treats hitting the cap as non-convergence
+  (it raises PowerIterationFailedConvergence there). Callers that
+  care can re-test the last committed l1_delta. In fixed-iteration mode
   (tol <= 0) no delta is computed: the dangling-mass collect is the
   single per-superstep action (a fully lazy "collect-free" chaining
   variant measured 2-3x slower — see the note in ``step``);

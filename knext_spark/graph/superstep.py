@@ -56,16 +56,32 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     LogicalRDD plan node, so its blocks otherwise linger until the
     nondeterministic ContextCleaner pass — which at bench scale means
     gigabytes of dead superstep state inflating GC pressure
-    (machine-wide, independent of task parallelism). Falls back to the
-    plain unpersist for CacheManager-backed frames."""
+    (machine-wide, independent of task parallelism).
+
+    Walks ALL LogicalRDD leaves of the analyzed plan, not just the
+    root: algorithms retire projections of their checkpoints (e.g.
+    LPA's ``new.select("node", "label")`` analyzes to
+    Project(LogicalRDD)), and a root-only match would silently skip
+    them — the exact leak this function exists to fix. Only RDDs that
+    are actually persisted are freed, so an RDD-backed *input* frame
+    (``spark.createDataFrame`` also plans as LogicalRDD, storage level
+    NONE) is never touched. Falls back to the plain unpersist for
+    CacheManager-backed frames."""
+    freed = False
     try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-            return
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                r = leaf.rdd()
+                lvl = r.getStorageLevel()
+                if lvl.useMemory() or lvl.useDisk() or lvl.useOffHeap():
+                    r.unpersist(False)
+                    freed = True
     except Exception:
         pass
-    df.unpersist()
+    if not freed:
+        df.unpersist()
 
 
 def _iter_dir(base: str, k: int) -> str:
@@ -166,6 +182,14 @@ class SuperstepRunner:
             step_wall = time.time() - t0
             if k % self.cadence == 0 or converged(m) or k == max_iters:
                 state = self._commit(new_state, k, m, step_wall)
+                # the Parquet read-back supersedes the step's working
+                # frame (its localCheckpoint blocks can never be re-read
+                # once the commit is durable) — free it here, because the
+                # algorithm's own retire list never sees it again: on
+                # commit supersteps `state` is replaced by the read-back,
+                # so without this the pre-commit frame leaks for the rest
+                # of the run (every step at the default cadence=1)
+                unpersist_checkpoint(new_state)
             else:
                 # step() is responsible for having materialized
                 # new_state (lazy localCheckpoint + its own action)

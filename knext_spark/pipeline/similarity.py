@@ -9,13 +9,30 @@
   bucket; exact cosine re-ranks within bucket (raw doubles — both engines fold
   in index order, so values are bit-identical for oracle parity). Recall is tunable by P
   and by ``probes``: multiprobe LSH (Lv et al., VLDB'07) additionally
-  probes the Hamming-adjacent buckets (1-bit flips of the P-bit code) —
+  probes Hamming-adjacent buckets (1-bit flips of the P-bit code) —
   the query side explodes to 1 + probes buckets while the candidate
   side stays single-bucket, so the join fan-out grows linearly in
-  probes, not quadratically. At 1e9 vectors this is the standard design
-  (bucket join instead of n^2).
+  probes, not quadratically. ``probe_rank="distance"`` is the Lv et
+  al. refinement: flip the planes whose hyperplane margin |dot| is
+  smallest first (those are the bits most likely wrong), instead of
+  fixed plane order — measurably better recall per probe
+  (tests/test_pipeline_ops.py). At 1e9 vectors this is the standard
+  design (bucket join instead of n^2).
 - ``embedding_near_dups``: cosine >= threshold pairs via the same LSH
   bucketing (near-dup dedup on embeddings).
+
+Scale governors (the in-bucket re-rank is O(bucket^2)):
+
+- ``max_bucket`` prunes buckets holding more than that many vectors —
+  a bucket that large means degenerate hyperplanes or near-constant
+  embeddings, and exact re-ranking inside it is the quadratic hot-key
+  blowup at 100 TB. Pruned buckets are logged, not silently dropped
+  (mirrors ``max_posting``/``max_bucket`` in pipeline.dedup). Members
+  of a pruned bucket can still surface via probed buckets.
+- ``planes="auto"`` sizes P ≈ log2(n / target_bucket) from the corpus
+  size so the EXPECTED bucket is ~target_bucket — without it a fixed
+  small P gives 2^P total buckets and every bucket grows linearly
+  with n. (Costs one count() of the input; pass an int to skip.)
 
 Weights/hash are md5-based so the DuckDB oracle can reproduce the
 bucketing exactly; cosine is rounded to 6 decimals for stable
@@ -24,7 +41,12 @@ cross-engine comparison.
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -79,41 +101,120 @@ def _plane_weight(plane: int, dim: Column) -> Column:
     return (h % 2001 - 1000) / 1000.0
 
 
-def lsh_bucket(vec: Column, planes: int) -> Column:
-    """P-bit random-hyperplane bucket id of a vector."""
+def _plane_dot(vec: Column, plane: int) -> Column:
+    """Signed projection of ``vec`` onto hyperplane ``plane`` (index-
+    order fold — bit-identical in DuckDB's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda v, i: v.cast("double") * _plane_weight(plane, i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def plane_dots(vec: Column, planes: int) -> Column:
+    """array<double> of the P signed hyperplane projections."""
+    return F.array(*[_plane_dot(vec, p) for p in range(planes)])
+
+
+def bucket_of(dots: Column, planes: int) -> Column:
+    """P-bit bucket id from the projection array (bit p set iff
+    dots[p] >= 0)."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, i: v.cast("double") * _plane_weight(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(dots[p] >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 
 
+def lsh_bucket(vec: Column, planes: int) -> Column:
+    """P-bit random-hyperplane bucket id of a vector."""
+    return bucket_of(plane_dots(vec, planes), planes)
+
+
+def auto_planes(n: int, target_bucket: int = 1024, lo: int = 4, hi: int = 24) -> int:
+    """P such that the expected bucket size n / 2^P ≈ target_bucket.
+    This is what keeps bucket population (and the O(bucket^2) re-rank)
+    CONSTANT as the corpus grows, instead of linear in n."""
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_bucket)))))
+
+
 def probe_buckets(bucket: Column, planes: int, probes: int) -> Column:
-    """The multiprobe set: the exact bucket plus the first ``probes``
-    1-bit-flip neighbors (flip order = plane index — the standard
-    fixed probing sequence; a perturbation-ranked sequence is the
-    full Lv et al. refinement)."""
+    """The fixed-order multiprobe set: the exact bucket plus the first
+    ``probes`` 1-bit-flip neighbors in plane-index order."""
     flips = [bucket]
     for p in range(min(probes, planes)):
         flips.append(bucket.bitwiseXOR(F.lit(2**p)))
     return F.array_distinct(F.array(*flips))
 
 
+def ranked_probe_buckets(
+    bucket: Column, dots: Column, planes: int, probes: int
+) -> Column:
+    """Perturbation-ranked multiprobe set (Lv et al., VLDB'07): flip
+    the ``probes`` planes with the SMALLEST |projection| first — a
+    near-zero margin means the vector sits next to that hyperplane and
+    its true neighbors plausibly landed on the other side, so those
+    flips recover the most recall per probe. Tie-break: plane index
+    (array_sort on (|dot|, p) structs — lexicographic, deterministic,
+    and the identical order-by is expressible in DuckDB)."""
+    n = min(probes, planes)
+    ranked = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(dots[p]).alias("m"), F.lit(p).alias("p"))
+                    for p in range(planes)
+                ]
+            )
+        ),
+        lambda s: s["p"],
+    )
+    flipped = F.transform(
+        F.slice(ranked, 1, n),
+        # 2^p via pow (shiftleft needs a literal shift): exact in a
+        # double for p <= 52, and planes caps at 24
+        lambda p: bucket.bitwiseXOR(F.pow(F.lit(2.0), p).cast("long")),
+    )
+    return F.array_distinct(F.concat(F.array(bucket), flipped))
+
+
+def _prune_hot_buckets(
+    b: DataFrame, max_bucket: int | None, what: str
+) -> DataFrame:
+    """Drop rows whose bucket holds > max_bucket vectors; log the
+    prune. ``b`` must carry a ``bucket`` column. The count() of hot
+    buckets is one cheap aggregate job — the price of not silently
+    degrading recall."""
+    if max_bucket is None:
+        return b
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("sz"))
+    hot = sizes.where(F.col("sz") > max_bucket).select("bucket", "sz")
+    n_hot = hot.count()
+    if n_hot:
+        _log.warning(
+            "%s: pruning %d hot bucket(s) with > %d vectors "
+            "(degenerate-embedding guard; members may still surface "
+            "via probed buckets)", what, n_hot, max_bucket,
+        )
+        return b.join(F.broadcast(hot.select("bucket")), "bucket", "left_anti")
+    return b
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     k: int = 5,
-    planes: int = 4,
+    planes: int | str = 4,
     key: str = "vec_id",
     vec: str = "embedding",
     probes: int = 0,
+    probe_rank: str = "fixed",
+    max_bucket: int | None = 10000,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket (plus the
     ``probes`` Hamming-adjacent buckets of the query's code), exact
@@ -121,7 +222,14 @@ def lsh_ann_topk(
     bucket). Recall < 1 by design; the exactness oracle is
     cosine_topk. The candidate side is NOT exploded — only queries
     probe extra buckets, so candidate storage and shuffle volume stay
-    one row per vector."""
+    one row per vector. Buckets over ``max_bucket`` are pruned from
+    the CANDIDATE side (logged): the in-bucket re-rank is
+    O(bucket^2), and an oversized bucket means degenerate hyperplanes,
+    not similarity. ``planes="auto"`` sizes P from the corpus so the
+    expected bucket stays ~``target_bucket``."""
+    if planes == "auto":
+        planes = auto_planes(emb.count(), target_bucket)
+    planes = int(planes)
     # no persist: the bucketed projection is pure scan-side work that
     # both join inputs recompute within the one consuming job — caching
     # it here would leak block-manager memory past the call (callers
@@ -129,18 +237,18 @@ def lsh_ann_topk(
     b = emb.select(
         F.col(key).alias("qid"),
         F.col(vec).alias("qv"),
-        lsh_bucket(F.col(vec), planes).alias("bucket"),
-    )
-    q = b
+        plane_dots(F.col(vec), planes).alias("dots"),
+    ).select("qid", "qv", "dots", bucket_of(F.col("dots"), planes).alias("bucket"))
+    q = b.select("qid", "qv", "bucket")
     if probes > 0:
-        q = b.select(
-            "qid",
-            "qv",
-            F.explode(probe_buckets(F.col("bucket"), planes, probes)).alias("bucket"),
+        pset = (
+            ranked_probe_buckets(F.col("bucket"), F.col("dots"), planes, probes)
+            if probe_rank == "distance"
+            else probe_buckets(F.col("bucket"), planes, probes)
         )
-    c = b.select(
-        F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket"
-    )
+        q = b.select("qid", "qv", F.explode(pset).alias("bucket"))
+    c = b.select(F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket")
+    c = _prune_hot_buckets(c, max_bucket, "lsh_ann_topk")
     pairs = q.join(c, "bucket").where(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid", "nid", "bucket", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
@@ -162,17 +270,27 @@ def lsh_ann_topk(
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
-    planes: int = 4,
+    planes: int | str = 4,
     key: str = "vec_id",
     vec: str = "embedding",
+    max_bucket: int | None = 10000,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed
-    candidate generation (a < b)."""
+    candidate generation (a < b). Hot buckets over ``max_bucket`` are
+    pruned on BOTH sides (logged) — near-dup mining inside a
+    degenerate bucket is O(bucket^2) boilerplate, the same hot-key
+    blowup ``max_bucket`` bounds in pipeline.dedup's band join.
+    ``planes="auto"`` sizes P from the corpus size."""
+    if planes == "auto":
+        planes = auto_planes(emb.count(), target_bucket)
+    planes = int(planes)
     b = emb.select(
         F.col(key).alias("a"),
         F.col(vec).alias("va"),
         lsh_bucket(F.col(vec), planes).alias("bucket"),
     )
+    b = _prune_hot_buckets(b, max_bucket, "embedding_near_dups")
     c = b.select(F.col("a").alias("b"), F.col("va").alias("vb"), "bucket")
     pairs = b.join(c, "bucket").where(F.col("a") < F.col("b"))
     scored = pairs.select(

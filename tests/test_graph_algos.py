@@ -295,3 +295,32 @@ def test_lpa_resume_identical(spark, tmp_path):
     a = {r["node"]: r["label"] for r in full.state.collect()}
     b = {r["node"]: r["label"] for r in resumed.state.collect()}
     assert a == b
+
+
+def test_graph_algos_no_block_residue(spark, tmp_path):
+    """Every iterative algorithm must leave ZERO persisted-RDD residue:
+    localCheckpointed superstep layers are RDD-level persisted, so a
+    retire path that misses them (root-only plan match, or the
+    pre-commit frame a commit superstep replaces with its Parquet
+    read-back) leaks blocks for the whole session — the GC-pressure
+    regression the deterministic-retirement design exists to prevent.
+    Covers both cadence=1 (every step commits: the leak is the
+    pre-commit frame) and cadence>1 (the leak is the Project-wrapped
+    intermediate localCheckpoint)."""
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    e = _edge_df(spark, pairs)
+    jsc = spark.sparkContext._jsc
+
+    before = jsc.getPersistentRDDs().size()
+    pagerank(spark, e, max_iter=5, tol=0.0, checkpoint_dir=str(tmp_path / "pr1"))
+    pagerank(
+        spark, e, max_iter=5, tol=0.0, cadence=10, checkpoint_dir=str(tmp_path / "pr2")
+    )
+    connected_components(spark, e, checkpoint_dir=str(tmp_path / "cc1"))
+    connected_components(spark, e, cadence=10, checkpoint_dir=str(tmp_path / "cc2"))
+    label_propagation(spark, e, max_iter=5, checkpoint_dir=str(tmp_path / "l1"))
+    label_propagation(
+        spark, e, max_iter=5, cadence=10, checkpoint_dir=str(tmp_path / "l2")
+    )
+    after = jsc.getPersistentRDDs().size()
+    assert after == before

@@ -87,14 +87,114 @@ def test_multiprobe_improves_recall(spark):
 
 
 def test_multiprobe_zero_is_plain_lsh(spark):
-    from knext_spark.pipeline.similarity import lsh_ann_topk
+    """probes=0 must be EXACTLY the plain same-bucket LSH top-k — the
+    expected side is built independently here from lsh_bucket + a
+    direct bucket self-join, so a regression in the multiprobe code
+    path (e.g. accidental candidate-side explode) can't hide."""
+    from pyspark.sql import Window
+    from knext_spark.pipeline.similarity import _cosine, lsh_ann_topk, lsh_bucket
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     a = sorted(
         (r["vec_id"], r["neighbor_id"], r["rank"])
         for r in lsh_ann_topk(emb, k=3, planes=4, probes=0).collect()
     )
+    b = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        lsh_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    c = b.select(F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    plain = sorted(
+        (r["qid"], r["nid"], r["rank"])
+        for r in (
+            b.join(c, "bucket")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", _cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        ).collect()
+    )
     assert len(a) > 0
+    assert a == plain
+
+
+def test_ranked_multiprobe_beats_fixed(spark):
+    """Perturbation-ranked probing (flip smallest-|margin| planes
+    first, Lv et al.) must beat the fixed plane-order sequence at the
+    same probe budget. Measured on this fixture: planes=4 probes=2 is
+    0.341 fixed vs 0.371 ranked; every planes in {3,4,6} x probes in
+    {1,2} is strictly better, and probes=planes is identical (both
+    flip every plane)."""
+    from knext_spark.pipeline import cosine_topk
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3).collect()
+    fixed = _recall(
+        lsh_ann_topk(emb, k=3, planes=4, probes=2, probe_rank="fixed").collect(),
+        exact,
+    )
+    ranked = _recall(
+        lsh_ann_topk(emb, k=3, planes=4, probes=2, probe_rank="distance").collect(),
+        exact,
+    )
+    assert ranked > fixed
+
+
+def test_auto_planes_sizing():
+    from knext_spark.pipeline.similarity import auto_planes
+
+    assert auto_planes(0) == 4
+    assert auto_planes(1000, target_bucket=1024) == 4  # floor
+    assert auto_planes(2**20, target_bucket=1024) == 10
+    assert auto_planes(10**9, target_bucket=1024) == 20
+    assert auto_planes(10**12, target_bucket=1024) == 24  # ceiling
+
+
+def _degenerate_emb(spark, n=40):
+    """Near-constant embeddings: every vector hashes to ONE bucket for
+    any hyperplane set — the adversarial hot-bucket case."""
+    rows = [(i, [1.0, 1.0, 1.0, 1.0 + i * 1e-9]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_hot_bucket_cap_bounds_pairs(spark):
+    from knext_spark.pipeline.similarity import embedding_near_dups, lsh_ann_topk
+
+    emb = _degenerate_emb(spark)
+    # uncapped: the single degenerate bucket yields O(n^2) verified pairs
+    un = embedding_near_dups(emb, threshold=-1.0, planes=4, max_bucket=None).count()
+    assert un == 40 * 39 // 2
+    # capped: the hot bucket is pruned entirely — bounded work, no blowup
+    assert embedding_near_dups(emb, threshold=-1.0, planes=4, max_bucket=10).count() == 0
+    assert (
+        lsh_ann_topk(emb, k=3, planes=4, probes=0, max_bucket=10).count() == 0
+    )
+    # the cap is a no-op when no bucket exceeds it
+    capped_hi = embedding_near_dups(
+        emb, threshold=-1.0, planes=4, max_bucket=1000
+    ).count()
+    assert capped_hi == un
+
+
+def test_ann_cap_noop_on_fixture(spark):
+    """On the real embeddings fixture no bucket reaches the default
+    cap, so capped == uncapped — keeps the driver's ann contract rows
+    byte-stable against the cap-free DuckDB oracles."""
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_ann_topk(emb, k=3, planes=4, probes=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_ann_topk(emb, k=3, planes=4, probes=2, max_bucket=None).collect()
+    )
+    assert a == b
 
 
 # ------------------------------------- partitioned TSV export parity
