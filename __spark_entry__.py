@@ -489,18 +489,29 @@ def q_pagerank(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
+    """encode_ids=True: the contraction runs on dense order-preserving
+    int64 codes (graph/encode.py) and the result is decoded back to
+    the original string ids — the oracle match itself proves the
+    round-trip. (q_pagerank stays on raw ids: its micros-exact oracle
+    is sensitive to float summation order, which re-keying the
+    aggregation would perturb; cc/lpa compare ids, where order
+    preservation makes encoded runs bit-identical.)"""
     from knext_spark.graph import connected_components
 
     edges = _edge_table(spark, sf_dir).select(
         F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
     )
     res = connected_components(
-        spark, edges, checkpoint_dir=tempfile.mkdtemp(prefix="q_cc_"), cadence=10
+        spark, edges, checkpoint_dir=tempfile.mkdtemp(prefix="q_cc_"), cadence=10,
+        encode_ids=True,
     )
     return res.state
 
 
 def q_label_propagation(spark, sf_dir):
+    """encode_ids=True — see q_connected_components: decoded labels
+    are bit-identical because the encoding preserves the id order the
+    pinned tie-break compares."""
     from knext_spark.graph import label_propagation
 
     edges = _edge_table(spark, sf_dir).select(
@@ -509,6 +520,7 @@ def q_label_propagation(spark, sf_dir):
     res = label_propagation(
         spark, edges, max_iter=10,
         checkpoint_dir=tempfile.mkdtemp(prefix="q_lpa_"), cadence=10,
+        encode_ids=True,
     )
     return res.state
 

@@ -97,45 +97,100 @@ def _pagerank_throughput(spark, edges, cadence=50, max_iter=100, tol=1.0e-6,
     }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _static_plan(spark):
+    """Disable AQE for a fixed-shape plan. Measured on the triangle
+    queries (BENCH.md §4): the plan consumes its two explicit
+    repartition exchanges 3x each, and while AQE DOES reuse the
+    materialized stages at runtime (ReusedExchange present in the
+    final adaptive plan), its per-stage re-planning barriers on a
+    ~100-exchange tree cost ~1.8x wall (kgml_triangles median 7.8s
+    adaptive vs 4.4s static, 5 runs). Static planning applies the
+    classic whole-plan ReuseExchange rule up front — the right choice
+    for a plan whose partitioning is already explicit, and the same
+    protocol the scaling bench uses for the iterative phase."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
+    """Each query is repeated SPARK_GRAFT_BENCH_RUNS times (default 3,
+    fresh DataFrame each rep so planning cost is included); reported
+    per-query time is the MEDIAN, with min/max spread kept in
+    `queries_spread` so a round-over-round diff can be adjudicated as
+    noise vs regression (round 2's single-run harness could not)."""
+    import statistics
+
     from knext_spark.session import get_spark
 
     import __spark_entry__ as em
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(8, int(cpus))
     )
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     extras: dict[str, float] = {}
 
-    t0 = time.time()
+    def timed(name, fn, n=runs):
+        walls = []
+        out = None
+        for _ in range(n):
+            t0 = time.time()
+            out = fn()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = round(statistics.median(walls), 3)
+        spread[name] = {"runs": walls, "min": min(walls), "max": max(walls)}
+        return out
+
+    # parse timing: rebuild the whole pipeline each rep (nothing
+    # persisted yet, so no cache hit); then persist one copy for the
+    # downstream graph phases
+    n_kgml_edges = timed(
+        "kgml_parse_edges", lambda: _build_kgml_edges(spark, sf).count()
+    )
     edges = _build_kgml_edges(spark, sf)
-    n_kgml_edges = edges.persist().count()
-    timings["kgml_parse_edges"] = round(time.time() - t0, 3)
+    edges.persist().count()
     extras["kgml_n_edges"] = n_kgml_edges
     extras["kgml_edges_per_sec"] = round(
         n_kgml_edges / timings["kgml_parse_edges"], 1
     )
 
-    pr = _pagerank_throughput(spark, edges)
+    pr_runs = [_pagerank_throughput(spark, edges) for _ in range(runs)]
+    pr_walls = [round(p["wall_s"], 3) for p in pr_runs]
+    pr = sorted(pr_runs, key=lambda p: p["wall_s"])[len(pr_runs) // 2]
     timings["kgml_pagerank"] = round(pr["wall_s"], 3)
+    spread["kgml_pagerank"] = {
+        "runs": pr_walls, "min": min(pr_walls), "max": max(pr_walls)
+    }
     extras["pagerank_supersteps"] = pr["supersteps"]
     extras["pagerank_supersteps_per_sec"] = round(pr["supersteps_per_sec"], 3)
     extras["pagerank_edges_per_sec"] = round(pr["edges_per_sec"], 1)
 
     from knext_spark.graph import connected_components, triangle_count
 
-    t0 = time.time()
-    cc = connected_components(
-        spark, edges, checkpoint_dir=tempfile.mkdtemp(prefix="bench_cc_"), cadence=10
-    )
-    cc.state.count()
-    timings["kgml_connected_components"] = round(time.time() - t0, 3)
+    def cc_run():
+        connected_components(
+            spark, edges, checkpoint_dir=tempfile.mkdtemp(prefix="bench_cc_"),
+            cadence=10,
+        ).state.count()
 
-    t0 = time.time()
-    triangle_count(edges).agg(F.sum("triangles")).collect()
-    timings["kgml_triangles"] = round(time.time() - t0, 3)
+    timed("kgml_connected_components", cc_run)
+
+    with _static_plan(spark):
+        timed(
+            "kgml_triangles",
+            lambda: triangle_count(edges).agg(F.sum("triangles")).collect(),
+        )
     edges.unpersist()
 
     suite = [
@@ -157,9 +212,14 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     ]
     qs = em.queries()
     for name in suite:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        def one(name=name):
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        if name == "triangles":
+            with _static_plan(spark):
+                timed(name, one)
+        else:
+            timed(name, one)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -167,6 +227,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "bench_runs_per_query": runs,
         "sf": sf,
         "cpus": cpus,
         **extras,

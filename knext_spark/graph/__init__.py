@@ -11,6 +11,11 @@ for checkpoint / resume / per-partition lineage metrics.
 """
 
 from knext_spark.graph.superstep import SuperstepRunner  # noqa: F401
+from knext_spark.graph.encode import (  # noqa: F401
+    build_dictionary,
+    decode_cols,
+    encode_edges,
+)
 from knext_spark.graph.pagerank import pagerank  # noqa: F401
 from knext_spark.graph.components import connected_components  # noqa: F401
 from knext_spark.graph.lpa import label_propagation  # noqa: F401

@@ -81,12 +81,37 @@ def connected_components(
     resume: bool = False,
     max_iter: int = 50,
     cadence: int = 1,
+    encode_ids: bool = False,
 ) -> SuperstepResult:
     """edges(src, dst) -> SuperstepResult with state
     (node, component) where component = min node id of the component.
     Isolated nodes (self-loop-only) label themselves.
+
+    ``encode_ids=True`` runs the star contractions on dense int64
+    codes (graph.encode) and decodes — EXACTLY the same labels as a
+    raw-id run, because the encoding is order-preserving: min over
+    encoded ids is the encoding of the min original id.
     """
     import tempfile
+
+    if encode_ids:
+        from knext_spark.graph.encode import (
+            build_dictionary, decode_cols, encode_edges, nodes_of,
+        )
+
+        dic = build_dictionary(nodes_of(edges)).persist()
+        res = connected_components(
+            spark,
+            encode_edges(edges, dic),
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            resume=resume,
+            max_iter=max_iter,
+            cadence=cadence,
+        )
+        out = decode_cols(res.state, dic, "node", "component")
+        dic.unpersist()
+        return SuperstepResult(out, res.iterations, res.converged, res.metrics)
 
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")

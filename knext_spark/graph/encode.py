@@ -1,0 +1,109 @@
+"""Order-preserving dictionary encoding of node ids to dense int64.
+
+Iterative graph algorithms shuffle/compare their key column every
+superstep; on string ids (URLs, gene names, repo paths) that means
+hashing and comparing variable-length UTF-8 per row per iteration.
+Encoding to int64 once up front measured ~3x faster supersteps on the
+118.9M-edge scaling input (BENCH.md §1) — round 2 did this in the
+bench harness; this module makes it a first-class engine wrapper
+(pagerank/cc/lpa take ``encode_ids=True`` and decode the result).
+
+The encoding is ORDER-PRESERVING and DENSE (0..n-1 by sorted node
+id), not a hash:
+
+- order preservation is what keeps the algorithms' semantics exactly
+  intact under encoding: LPA's deterministic tie-break (smallest label
+  among argmax-frequency) and connected components' min-label
+  canonicalization compare ids — with encoded order == original
+  order, the decoded results are bit-identical to a raw-id run
+  (tests/test_graph_algos.py). A hash encoding (xxhash64) would
+  scramble tie-breaks and need a post-hoc re-canonicalization join.
+- density keeps the id space compact (nice for downstream bitmaps /
+  arrays), and rules out hash collisions outright.
+
+Scale design — no global sort bottleneck: ``repartitionByRange`` with
+an EXPLICIT partition count range-partitions the node set (globally
+ordered partitions; the explicit count keeps AQE from coalescing the
+shuffle, which would renumber partition ids between jobs), a
+per-partition window computes local row numbers in parallel, and only
+the n_part partition COUNTS are collected to the driver to compute
+cumulative offsets: id = offset[partition] + local_rank - 1. That is
+one range shuffle + one tiny collect, all DataFrame ops —
+deterministic on recomputation (range bounds are sampled with fixed
+per-partition seeds from the same input), so the dictionary needs no
+checkpoint: callers persist() it for the run and unpersist() after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def build_dictionary(nodes: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """nodes(node) [distinct] -> dictionary (node, nid) with nid a
+    dense, order-preserving int64: sorted(node)[i] gets nid=i."""
+    spark = nodes.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    ranked = nodes.repartitionByRange(n_part, "node").select(
+        "node", F.spark_partition_id().alias("pid")
+    )
+    w = Window.partitionBy("pid").orderBy("node")
+    local = ranked.withColumn("rn", F.row_number().over(w))
+    counts = sorted(
+        local.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: r["pid"],
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((int(r["pid"]), acc))
+        acc += int(r["cnt"])
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    return local.join(F.broadcast(off_df), "pid").select(
+        "node", (F.col("off") + F.col("rn") - 1).alias("nid")
+    )
+
+
+def nodes_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def encode_edges(
+    edges: DataFrame,
+    dictionary: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Replace src/dst with their int64 codes; all other columns pass
+    through. Two hash joins against the dictionary — a one-time cost
+    the per-superstep savings amortize immediately."""
+    rest = [c for c in edges.columns if c not in (src, dst)]
+    d_src = dictionary.select(F.col("node").alias(src), F.col("nid").alias("__src_nid"))
+    d_dst = dictionary.select(F.col("node").alias(dst), F.col("nid").alias("__dst_nid"))
+    return (
+        edges.join(d_src, src)
+        .join(d_dst, dst)
+        .select(
+            F.col("__src_nid").alias(src), F.col("__dst_nid").alias(dst), *rest
+        )
+    )
+
+
+def decode_cols(df: DataFrame, dictionary: DataFrame, *cols: str) -> DataFrame:
+    """Map each named int64 column back to the original node id,
+    preserving column order and the remaining columns."""
+    out = df
+    for c in cols:
+        d = dictionary.select(
+            F.col("nid").alias(c), F.col("node").alias(f"__dec_{c}")
+        )
+        out = out.join(d, c, "left")
+    return out.select(
+        *[
+            F.col(f"__dec_{c}").alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -37,9 +37,35 @@ def label_propagation(
     run_id: str = "default",
     resume: bool = False,
     cadence: int = 1,
+    encode_ids: bool = False,
 ) -> SuperstepResult:
-    """edges(src, dst) -> SuperstepResult with state (node, label)."""
+    """edges(src, dst) -> SuperstepResult with state (node, label).
+
+    ``encode_ids=True`` iterates on dense int64 codes (graph.encode)
+    and decodes — bit-identical labels to a raw-id run: the pinned
+    tie-break (smallest label among argmax frequency) compares ids,
+    and the encoding preserves their order.
+    """
     import tempfile
+
+    if encode_ids:
+        from knext_spark.graph.encode import (
+            build_dictionary, decode_cols, encode_edges, nodes_of,
+        )
+
+        dic = build_dictionary(nodes_of(edges)).persist()
+        res = label_propagation(
+            spark,
+            encode_edges(edges, dic),
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            resume=resume,
+            cadence=cadence,
+        )
+        out = decode_cols(res.state, dic, "node", "label")
+        dic.unpersist()
+        return SuperstepResult(out, res.iterations, res.converged, res.metrics)
 
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")

@@ -86,13 +86,49 @@ def pagerank(
     cadence: int = 1,
     num_partitions: int | None = None,
     check_every: int = 1,
+    encode_ids: bool = False,
 ) -> SuperstepResult:
     """edges(src, dst, weight) -> SuperstepResult with state
     (node, rank). Parallel (src,dst) duplicates are NOT collapsed here
     (caller controls: nx.DiGraph-parity means dropDuplicates upstream;
     a MultiDiGraph reading sums them, which summation here reproduces).
+
+    ``encode_ids=True`` dictionary-encodes node ids to dense int64
+    before iterating and decodes the result (graph.encode) — measured
+    ~3x faster supersteps on long string keys (BENCH.md §1). Ranks are
+    numerically identical up to float summation order (aggregation
+    grouping changes partial-sum order; differences are ~1e-16-level).
+    Resume works: the dictionary rebuild is deterministic for the same
+    input edges.
     """
     import tempfile
+
+    if encode_ids:
+        from knext_spark.graph.encode import (
+            build_dictionary, decode_cols, encode_edges, nodes_of,
+        )
+
+        dic = build_dictionary(nodes_of(edges), num_partitions).persist()
+        res = pagerank(
+            spark,
+            encode_edges(edges, dic),
+            alpha=alpha,
+            tol=tol,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            resume=resume,
+            salt_k=salt_k,
+            cadence=cadence,
+            num_partitions=num_partitions,
+            check_every=check_every,
+        )
+        out = decode_cols(res.state, dic, "node")
+        # CacheManager-persisted (not a checkpoint): safe to release —
+        # the decode join can deterministically recompute it if the
+        # caller's action runs after this returns
+        dic.unpersist()
+        return SuperstepResult(out, res.iterations, res.converged, res.metrics)
 
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")

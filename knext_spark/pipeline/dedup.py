@@ -278,11 +278,17 @@ def simhash_near_pairs(
     ).select(key, "simhash", F.col("blk.c").alias("c"), F.col("blk.bv").alias("bv"))
     a = blocks.select(F.col(key).alias("a"), F.col("simhash").alias("fa"), "c", "bv")
     b = blocks.select(F.col(key).alias("b"), F.col("simhash").alias("fb"), "c", "bv")
-    cand = (
-        a.join(b, ["c", "bv"]).where(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
-    )
-    xor = F.col("fa").bitwiseXOR(F.col("fb"))
-    ham = F.bit_count(xor)
-    return cand.select("a", "b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    # hamming is a pure function of the pair, so computing it and
+    # filtering BEFORE the dedup commutes with distinct — the distinct's
+    # exchange then carries (a, b, hamming) for only the pairs that
+    # already verified, instead of (a, b, fa, fb) for every block-
+    # collision candidate (narrower rows AND far fewer of them; a pair
+    # colliding in several blocks is the only duplication left)
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["c", "bv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -324,3 +324,47 @@ def test_graph_algos_no_block_residue(spark, tmp_path):
     )
     after = jsc.getPersistentRDDs().size()
     assert after == before
+
+
+def test_dictionary_order_preserving_dense(spark):
+    from knext_spark.graph.encode import build_dictionary
+
+    names = sorted({a for p in GRAPHS["erdos"] for a in p})
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    dic = {r["node"]: r["nid"] for r in build_dictionary(nodes, 8).collect()}
+    assert sorted(dic.values()) == list(range(len(names)))  # dense 0..n-1
+    assert [dic[n] for n in names] == sorted(dic.values())  # order-preserving
+
+
+def test_encode_ids_parity(spark, tmp_path):
+    """encode_ids=True must decode back to the raw-id results: exact
+    for cc/lpa (order preservation keeps min-label canonicalization
+    and LPA tie-breaks intact), allclose for pagerank (float summation
+    order may differ under re-keyed aggregation)."""
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    e = _edge_df(spark, pairs)
+
+    raw = {r["node"]: r["rank"] for r in pagerank(
+        spark, e, max_iter=20, checkpoint_dir=str(tmp_path / "r")
+    ).state.collect()}
+    enc = {r["node"]: r["rank"] for r in pagerank(
+        spark, e, max_iter=20, checkpoint_dir=str(tmp_path / "e"), encode_ids=True
+    ).state.collect()}
+    assert set(raw) == set(enc)
+    assert all(abs(raw[k] - enc[k]) < 1e-12 for k in raw)
+
+    raw_cc = {r["node"]: r["component"] for r in connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "rc")
+    ).state.collect()}
+    enc_cc = {r["node"]: r["component"] for r in connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "ec"), encode_ids=True
+    ).state.collect()}
+    assert raw_cc == enc_cc  # exact, incl. the min-node canonical label
+
+    raw_lp = {r["node"]: r["label"] for r in label_propagation(
+        spark, e, max_iter=8, checkpoint_dir=str(tmp_path / "rl")
+    ).state.collect()}
+    enc_lp = {r["node"]: r["label"] for r in label_propagation(
+        spark, e, max_iter=8, checkpoint_dir=str(tmp_path / "el"), encode_ids=True
+    ).state.collect()}
+    assert raw_lp == enc_lp  # bit-identical: tie-breaks preserved
