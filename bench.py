@@ -256,6 +256,31 @@ def _timed_pagerank(spark, edges, steps: int, n_part: int) -> float:
     return time.time() - t0
 
 
+def _steady_superstep_walls(spark, edges, steps: int, n_part: int) -> list[float]:
+    """Per-superstep wall seconds from ONE fixed-superstep run — the
+    runner records each superstep's wall in its metrics, so a single
+    run yields `steps` samples with per-run fixed cost (session, init
+    commit, final commit) excluded by construction."""
+    from knext_spark.graph import pagerank
+
+    res = pagerank(
+        spark,
+        edges,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bench_pr_"),
+        run_id="scale",
+        cadence=1000,
+        max_iter=steps,
+        tol=0.0,
+        num_partitions=n_part,
+    )
+    res.state.count()
+    return [
+        float(m["wall_s"])
+        for m in res.metrics
+        if m.get("iteration", 0) >= 1 and "wall_s" in m
+    ]
+
+
 def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
     """Same PageRank job at several parallelism levels on the same input.
 
@@ -271,12 +296,23 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
       slots differ, like a real N -> 4N executor comparison;
     - AQE off for the iterative phase (static partitioning by design;
       per-superstep re-planning is serial driver cost);
-    - differential timing: rate = (steps_hi - steps_lo) /
-      (wall_hi - wall_lo) cancels per-run fixed cost (session init,
-      state-0 commit, final commit) that a long-running production job
-      amortizes anyway; true median (statistics.median — mean of the
-      middle two for even counts) of SPARK_GRAFT_SCALE_RUNS paired
-      differences.
+    - STEADY-STATE PER-SUPERSTEP MEDIAN: one run of
+      SPARK_GRAFT_SCALE_STEPS supersteps per level; the runner records
+      every superstep's wall, and the level's s/step is the median of
+      the LAST HALF of those walls. Per-run fixed cost (session init,
+      state-0 commit, final commit) is excluded by construction, and —
+      the round-3 fix — so is the JIT/codegen warm-up, which measured
+      ~4-5 supersteps long (e.g. local[8]: 54.4, 21.4, 23.4, 25.7,
+      18.0 then a steady 15.4-16.4s band). The previous differential
+      protocol (wall(8 steps) - wall(3 steps)) STRADDLED that
+      transition, which made consecutive paired runs disagree by up to
+      55% (measured: 20.8 vs 13.4 s/step, identical code and input) —
+      round 2's 0.87 and an identically-configured re-run's 0.63 were
+      both samples of that noise. Within one JVM's steady state the
+      walls sit in a ±5% band and the median of >= 8 of them is
+      reproducible. SPARK_GRAFT_SCALE_RUNS > 1 repeats the whole run
+      and takes the fastest level median (interference can only slow a
+      run down).
     - efficiency is reported for EVERY consecutive level pair; the
       headline value is the first pair (2 -> 8 by default, the
       N -> 4N-cores stand-in — the task text allows "N and 4N cores").
@@ -298,9 +334,8 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
         raise ValueError(f"--scaling needs >= 2 levels, got {levels!r}")
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
     replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "14"))
-    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
-    steps_lo = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS_LO", "3"))
-    steps_hi = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS_HI", "8"))
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+    steps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "16"))
     n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
     shm = "/dev/shm/spark-scale-tmp"
@@ -350,18 +385,20 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
         )
         edges = spark.read.parquet(edge_dir).persist()
         n_edges = edges.count()
-        _timed_pagerank(spark, edges, steps_lo, n_part)  # JIT warm-up
-        diffs = []
+        medians, all_walls = [], []
         for _ in range(runs):
-            t_lo = _timed_pagerank(spark, edges, steps_lo, n_part)
-            t_hi = _timed_pagerank(spark, edges, steps_hi, n_part)
-            diffs.append((steps_hi - steps_lo) / max(t_hi - t_lo, 1e-9))
-        sps = statistics.median(diffs)
+            walls = _steady_superstep_walls(spark, edges, steps, n_part)
+            steady = walls[len(walls) // 2:]  # back half = post-warm-up
+            medians.append(statistics.median(steady))
+            all_walls.append([round(w, 2) for w in walls])
+        s_per_step = min(medians)  # fastest run: interference only adds
+        sps = 1.0 / s_per_step
         out[f"local[{cpus}]"] = {
             "n_edges": n_edges,
+            "sec_per_superstep": round(s_per_step, 3),
             "supersteps_per_sec": round(sps, 4),
             "edges_per_sec": round(sps * n_edges, 1),
-            "all_runs_supersteps_per_sec": [round(d, 4) for d in diffs],
+            "per_superstep_walls": all_walls,
         }
         edges.unpersist()
         spark.stop()
@@ -383,8 +420,106 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
         "levels": out,
         "replicas": replicas,
         "n_docs": n_docs,
-        "supersteps": [steps_lo, steps_hi],
+        "supersteps_per_run": steps,
+        "runs_per_level": runs,
         "sf": sf,
+    }
+
+
+def run_encode_gain(sf_dir: str) -> dict:
+    """Measure the engine-level dictionary encoding's superstep gain
+    (pagerank(encode_ids=True) vs raw string ids) on the scaling-bench
+    edge corpus kept STRING-keyed: same generator and replica protocol
+    as --scaling, but ids stay `<gene>#<rep>` strings instead of the
+    harness's xxhash64 pre-encode. Steady-state per-superstep medians
+    (same protocol as --scaling: one run per variant, median of the
+    back-half superstep walls) exclude per-run fixed cost INCLUDING
+    the one-time dictionary build + encode joins — the number reported
+    is the pure per-superstep effect of iterating on int64 vs string
+    keys, which is what a long production run experiences."""
+    import statistics
+    from knext_spark.session import get_spark
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "14"))
+    runs = int(os.environ.get("SPARK_GRAFT_ENC_RUNS", "1"))
+    steps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "16"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_encgain_edges_")
+    spark = get_spark(
+        "bench_encgain", master=f"local[{cpus}]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    rep = base.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
+    (
+        rep.select(
+            F.concat_ws("#", "src", "rep").alias("src"),
+            F.concat_ws("#", "dst", "rep").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+
+    edges = spark.read.parquet(edge_dir).persist()
+    n_edges = edges.count()
+
+    from knext_spark.graph import pagerank as pr_fn
+
+    def steady_walls(enc: bool) -> list[float]:
+        res = pr_fn(
+            spark, edges,
+            checkpoint_dir=tempfile.mkdtemp(prefix="bench_enc_"),
+            run_id="encgain", cadence=1000, max_iter=steps, tol=0.0,
+            num_partitions=n_part, encode_ids=enc,
+        )
+        res.state.count()
+        return [
+            float(m["wall_s"])
+            for m in res.metrics
+            if m.get("iteration", 0) >= 1 and "wall_s" in m
+        ]
+
+    out = {}
+    for enc in (False, True):
+        medians, all_walls = [], []
+        for _ in range(runs):
+            walls = steady_walls(enc)
+            medians.append(statistics.median(walls[len(walls) // 2:]))
+            all_walls.append([round(w, 2) for w in walls])
+        out["encoded" if enc else "raw_string"] = {
+            "sec_per_superstep": round(min(medians), 3),
+            "per_superstep_walls": all_walls,
+        }
+    edges.unpersist()
+    spark.stop()
+    return {
+        "metric": "pagerank_encode_ids_speedup",
+        "value": round(
+            out["raw_string"]["sec_per_superstep"]
+            / out["encoded"]["sec_per_superstep"],
+            3,
+        ),
+        "unit": "x",
+        "n_edges": n_edges,
+        "variants": out,
+        "supersteps_per_run": steps,
+        "replicas": replicas,
     }
 
 
@@ -452,6 +587,8 @@ if __name__ == "__main__":
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--encode-gain" in sys.argv:
+        print(json.dumps(run_encode_gain(sf_dir)))
     elif "--refcmp" in sys.argv:
         print(json.dumps(run_refcmp()))
     else:

@@ -3,9 +3,11 @@
 Iterative graph algorithms shuffle/compare their key column every
 superstep; on string ids (URLs, gene names, repo paths) that means
 hashing and comparing variable-length UTF-8 per row per iteration.
-Encoding to int64 once up front measured ~3x faster supersteps on the
-118.9M-edge scaling input (BENCH.md §1) — round 2 did this in the
-bench harness; this module makes it a first-class engine wrapper
+Encoding to int64 once up front measured 1.27x faster steady-state
+supersteps on the 118.9M-edge scaling input with short (~10-14 char)
+ids (BENCH.md §1, steady-state protocol; the gain scales with key
+length — web-scale URLs/paths are 5-20x longer) — round 2 did this in
+the bench harness; this module makes it a first-class engine wrapper
 (pagerank/cc/lpa take ``encode_ids=True`` and decode the result).
 
 The encoding is ORDER-PRESERVING and DENSE (0..n-1 by sorted node

@@ -95,7 +95,8 @@ def pagerank(
 
     ``encode_ids=True`` dictionary-encodes node ids to dense int64
     before iterating and decodes the result (graph.encode) — measured
-    ~3x faster supersteps on long string keys (BENCH.md §1). Ranks are
+    1.27x faster steady-state supersteps on short string keys, more on
+    longer ones (BENCH.md §1). Ranks are
     numerically identical up to float summation order (aggregation
     grouping changes partial-sum order; differences are ~1e-16-level).
     Resume works: the dictionary rebuild is deterministic for the same

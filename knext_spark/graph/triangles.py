@@ -29,6 +29,17 @@ consumed 3x (degrees, both sides of the orientation join) and
 the wedge self-join (both sides keyed on the apex — zero additional
 exchange). Callers invoking triangle_count repeatedly on the same
 graph should persist the INPUT edge frame.
+
+AQE note (measured, BENCH.md §4): adaptive execution DOES reuse the
+two repartition stages at runtime (ReusedExchange in the final
+adaptive plan), but its per-stage re-planning barriers on this
+~100-exchange tree cost ~1.8x wall vs static planning, where the
+whole-plan ReuseExchange rule fires up front (kgml corpus: 4.4s
+static vs 7.8s adaptive median; a persist-based variant was slower
+than either). For a fixed pipeline, run this plan with
+``spark.sql.adaptive.enabled=false`` (there is nothing for AQE to
+adapt — partitioning is explicit); keep AQE for ad-hoc graphs where
+its skew-join handling on the wedge join may pay for itself.
 """
 
 from __future__ import annotations
