@@ -135,6 +135,11 @@ def connected_components(
     last_new: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        # eager checkpoint + separate signature collect: the same
+        # fusion that pagerank uses for its dangling-mass sum measured
+        # ~1.5x SLOWER per superstep for LPA at the 118.9M-edge scale
+        # (see the negative-result note in lpa.py); the signature scan
+        # of the persisted blocks is cheap, so two launches it is
         new = _small_star(_large_star(state)).localCheckpoint(eager=True)
         last_new[0] = new
         sig = _signature(new)

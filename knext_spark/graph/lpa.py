@@ -120,16 +120,19 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
             )
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         last_new[0] = new
-        # ONE action per superstep: the lazy localCheckpoint above is
-        # materialized by the same job that counts the changed labels
-        # (mirrors pagerank's fused dangling-mass collect — an eager
-        # checkpoint plus a separate count() paid two job launches)
-        changed = (
-            new.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]["c"]
-            or 0
-        )
+        # NEGATIVE RESULT (measured, 118.9M-edge input @ local[32],
+        # steady-state medians, runs interleaved with the eager
+        # variant): fusing this count into the job that materializes a
+        # LAZY localCheckpoint — pagerank's winning pattern for its
+        # dangling-mass sum — made LPA supersteps ~1.5x SLOWER with
+        # progressive degradation (fused medians 23.9-29.3 s/step vs
+        # 13.5-19.0 eager, three runs each; bisect isolated the fusion,
+        # not the retirement change). The separate count() below scans
+        # the just-persisted blocks in ~0.2s, so the second job launch
+        # is noise at scale. Keep eager + count.
+        changed = new.where(F.col("chg")).count()
         while len(retired) > 1:
             unpersist_checkpoint(retired.pop(0))
         retired.append(state)
