@@ -90,16 +90,26 @@ def connected_components(
     ``encode_ids=True`` runs the star contractions on dense int64
     codes (graph.encode) and decodes — EXACTLY the same labels as a
     raw-id run, because the encoding is order-preserving: min over
-    encoded ids is the encoding of the min original id.
+    encoded ids is the encoding of the min original id. The dictionary
+    is materialized once to Parquet under ``checkpoint_dir`` (encode's
+    consistency contract) and both decode joins read those same bytes.
     """
+    import os
     import tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
     if encode_ids:
         from knext_spark.graph.encode import (
             build_dictionary, decode_cols, encode_edges, nodes_of,
         )
 
-        dic = build_dictionary(nodes_of(edges)).persist()
+        dic = build_dictionary(
+            nodes_of(edges),
+            materialize_dir=os.path.join(checkpoint_dir, "cc", run_id, "dictionary"),
+            reuse=resume,
+        )
         res = connected_components(
             spark,
             encode_edges(edges, dic),
@@ -110,11 +120,7 @@ def connected_components(
             cadence=cadence,
         )
         out = decode_cols(res.state, dic, "node", "component")
-        dic.unpersist()
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
-
-    if checkpoint_dir is None:
-        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
     nodes = (
         edges.select(F.col("src").alias("node"))

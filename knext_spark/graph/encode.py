@@ -30,27 +30,83 @@ shuffle, which would renumber partition ids between jobs), a
 per-partition window computes local row numbers in parallel, and only
 the n_part partition COUNTS are collected to the driver to compute
 cumulative offsets: id = offset[partition] + local_rank - 1. That is
-one range shuffle + one tiny collect, all DataFrame ops —
-deterministic on recomputation (range bounds are sampled with fixed
-per-partition seeds from the same input), so the dictionary needs no
-checkpoint: callers persist() it for the run and unpersist() after.
+one range shuffle + one tiny collect, all DataFrame ops.
+
+CONSISTENCY CONTRACT — the dictionary is materialized exactly once.
+Spark's RangePartitioner reservoir-samples its bounds with a seed
+derived from the RDD id, which changes per plan instantiation: a
+recomputation of the range shuffle (cache eviction, a later decode
+action after unpersist) can draw DIFFERENT bounds, and the offsets
+collected against the first instantiation would then produce
+non-dense/duplicate nids — silently wrong results. So the ranked
+node set is pinned with an eager ``localCheckpoint`` BEFORE the
+offsets are collected, and the offsets, ``encode_edges``, and
+``decode_cols`` all read that single materialization. With
+``materialize_dir`` set (what pagerank/cc/lpa's ``encode_ids=True``
+does, under their checkpoint_dir) the finished dictionary is
+additionally written to Parquet and every later use — including
+decode joins that run after the wrapper returns, and resumed runs —
+reads those durable bytes; the in-memory checkpoint is then freed.
+Note the final node->nid MAPPING is deterministic regardless of
+bounds (it is the global sort rank), so two independent *builds* of
+the same node set agree; only mixing offsets from one instantiation
+with rows of another is unsafe, and the single materialization rules
+that out.
+
+Callers that build a dictionary WITHOUT ``materialize_dir`` must keep
+it alive themselves for the duration of its use and free it with
+``knext_spark.graph.superstep.unpersist_checkpoint(dic)`` (plain
+``unpersist`` is a no-op on localCheckpoint-backed frames).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
+from knext_spark.graph.superstep import unpersist_checkpoint
 
-def build_dictionary(nodes: DataFrame, num_partitions: int | None = None) -> DataFrame:
+
+def build_dictionary(
+    nodes: DataFrame,
+    num_partitions: int | None = None,
+    materialize_dir: str | None = None,
+    reuse: bool = False,
+) -> DataFrame:
     """nodes(node) [distinct] -> dictionary (node, nid) with nid a
-    dense, order-preserving int64: sorted(node)[i] gets nid=i."""
+    dense, order-preserving int64: sorted(node)[i] gets nid=i.
+
+    ``materialize_dir``: write the dictionary to Parquet there and
+    return the read-back — the durable form every downstream join
+    (encode, decode, post-return actions, resume) reads. Without it
+    the result rides on an in-session eager localCheckpoint; see the
+    module docstring for the caller's lifetime obligations.
+
+    ``reuse=True`` (resume path): if ``materialize_dir`` holds a
+    committed dictionary (``_SUCCESS``), read it back instead of
+    rebuilding — the resumed iterate's nids were assigned by exactly
+    that dictionary, so reuse is what makes resume correct. Only pass
+    it for the same input node set the dictionary was built from.
+    """
     spark = nodes.sparkSession
+    if (
+        reuse
+        and materialize_dir
+        and os.path.exists(os.path.join(materialize_dir, "_SUCCESS"))
+    ):
+        return spark.read.parquet(materialize_dir)
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     ranked = nodes.repartitionByRange(n_part, "node").select(
         "node", F.spark_partition_id().alias("pid")
     )
     w = Window.partitionBy("pid").orderBy("node")
-    local = ranked.withColumn("rn", F.row_number().over(w))
+    # eager pin BEFORE collecting offsets: every later job (the counts
+    # collect, the dictionary join, the Parquet write) reads these
+    # blocks, never a re-sampled range shuffle
+    local = ranked.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     counts = sorted(
         local.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),
         key=lambda r: r["pid"],
@@ -60,9 +116,14 @@ def build_dictionary(nodes: DataFrame, num_partitions: int | None = None) -> Dat
         offs.append((int(r["pid"]), acc))
         acc += int(r["cnt"])
     off_df = spark.createDataFrame(offs, "pid int, off long")
-    return local.join(F.broadcast(off_df), "pid").select(
+    dic = local.join(F.broadcast(off_df), "pid").select(
         "node", (F.col("off") + F.col("rn") - 1).alias("nid")
     )
+    if materialize_dir:
+        dic.write.mode("overwrite").parquet(materialize_dir)
+        unpersist_checkpoint(local)
+        return spark.read.parquet(materialize_dir)
+    return dic
 
 
 def nodes_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -96,13 +157,16 @@ def encode_edges(
 
 def decode_cols(df: DataFrame, dictionary: DataFrame, *cols: str) -> DataFrame:
     """Map each named int64 column back to the original node id,
-    preserving column order and the remaining columns."""
+    preserving column order and the remaining columns. INNER joins by
+    design: every nid in ``df`` was assigned from ``dictionary``, so
+    decode preserves row count — and a dictionary inconsistency
+    surfaces as missing rows (checkable) instead of silent nulls."""
     out = df
     for c in cols:
         d = dictionary.select(
             F.col("nid").alias(c), F.col("node").alias(f"__dec_{c}")
         )
-        out = out.join(d, c, "left")
+        out = out.join(d, c)
     return out.select(
         *[
             F.col(f"__dec_{c}").alias(c) if c in cols else F.col(c)

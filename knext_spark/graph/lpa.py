@@ -44,16 +44,26 @@ def label_propagation(
     ``encode_ids=True`` iterates on dense int64 codes (graph.encode)
     and decodes — bit-identical labels to a raw-id run: the pinned
     tie-break (smallest label among argmax frequency) compares ids,
-    and the encoding preserves their order.
+    and the encoding preserves their order. The dictionary is
+    materialized once to Parquet under ``checkpoint_dir`` (encode's
+    consistency contract) and both decode joins read those same bytes.
     """
+    import os
     import tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
     if encode_ids:
         from knext_spark.graph.encode import (
             build_dictionary, decode_cols, encode_edges, nodes_of,
         )
 
-        dic = build_dictionary(nodes_of(edges)).persist()
+        dic = build_dictionary(
+            nodes_of(edges),
+            materialize_dir=os.path.join(checkpoint_dir, "lpa", run_id, "dictionary"),
+            reuse=resume,
+        )
         res = label_propagation(
             spark,
             encode_edges(edges, dic),
@@ -64,11 +74,7 @@ def label_propagation(
             cadence=cadence,
         )
         out = decode_cols(res.state, dic, "node", "label")
-        dic.unpersist()
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
-
-    if checkpoint_dir is None:
-        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -99,17 +99,31 @@ def pagerank(
     longer ones (BENCH.md §1). Ranks are
     numerically identical up to float summation order (aggregation
     grouping changes partial-sum order; differences are ~1e-16-level).
-    Resume works: the dictionary rebuild is deterministic for the same
-    input edges.
+    The dictionary is materialized ONCE to Parquet under
+    ``checkpoint_dir`` (graph.encode's consistency contract: range-
+    shuffle recomputation is not deterministic) and resume re-reads
+    that same materialization, so resumed nids always match the
+    committed iterate's.
     """
+    import os
     import tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
     if encode_ids:
         from knext_spark.graph.encode import (
             build_dictionary, decode_cols, encode_edges, nodes_of,
         )
 
-        dic = build_dictionary(nodes_of(edges), num_partitions).persist()
+        dic = build_dictionary(
+            nodes_of(edges),
+            num_partitions,
+            materialize_dir=os.path.join(
+                checkpoint_dir, "pagerank", run_id, "dictionary"
+            ),
+            reuse=resume,
+        )
         res = pagerank(
             spark,
             encode_edges(edges, dic),
@@ -124,15 +138,11 @@ def pagerank(
             num_partitions=num_partitions,
             check_every=check_every,
         )
+        # dic is a Parquet read-back: the decode join re-reads the same
+        # durable bytes whenever the caller's action runs — nothing to
+        # keep alive or release
         out = decode_cols(res.state, dic, "node")
-        # CacheManager-persisted (not a checkpoint): safe to release —
-        # the decode join can deterministically recompute it if the
-        # caller's action runs after this returns
-        dic.unpersist()
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
-
-    if checkpoint_dir is None:
-        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
     if salt_k == "auto":
         salt_k = pick_salt_k(edges)
 

@@ -322,18 +322,80 @@ def test_graph_algos_no_block_residue(spark, tmp_path):
     label_propagation(
         spark, e, max_iter=5, cadence=10, checkpoint_dir=str(tmp_path / "l2")
     )
+    # encode_ids runs: the dictionary build pins an eager localCheckpoint
+    # that must be freed once the Parquet materialization is committed
+    connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "cc3"), encode_ids=True
+    ).state.count()
+    label_propagation(
+        spark, e, max_iter=5, checkpoint_dir=str(tmp_path / "l3"), encode_ids=True
+    ).state.count()
     after = jsc.getPersistentRDDs().size()
     assert after == before
 
 
 def test_dictionary_order_preserving_dense(spark):
     from knext_spark.graph.encode import build_dictionary
+    from knext_spark.graph.superstep import unpersist_checkpoint
 
     names = sorted({a for p in GRAPHS["erdos"] for a in p})
     nodes = spark.createDataFrame([(n,) for n in names], "node string")
-    dic = {r["node"]: r["nid"] for r in build_dictionary(nodes, 8).collect()}
+    ddf = build_dictionary(nodes, 8)
+    dic = {r["node"]: r["nid"] for r in ddf.collect()}
     assert sorted(dic.values()) == list(range(len(names)))  # dense 0..n-1
     assert [dic[n] for n in names] == sorted(dic.values())  # order-preserving
+    unpersist_checkpoint(ddf)  # non-materialized form: caller frees
+
+
+def test_dictionary_materialized_single_instantiation(spark, tmp_path):
+    """The dictionary must come from ONE durable materialization:
+    repeated downstream actions (multiple decode joins, actions after
+    the encode_ids wrapper returns) must read identical dense nids —
+    never a recomputed range shuffle (RangePartitioner samples its
+    bounds with an RDD-id-derived seed, so recomputation is NOT
+    deterministic across plan instantiations)."""
+    import os
+
+    from knext_spark.graph.encode import build_dictionary
+
+    names = sorted({a for p in GRAPHS["erdos"] for a in p})
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    d_dir = str(tmp_path / "dic")
+    ddf = build_dictionary(nodes, 8, materialize_dir=d_dir)
+    assert os.path.exists(os.path.join(d_dir, "_SUCCESS"))
+    first = {r["node"]: r["nid"] for r in ddf.collect()}
+    second = {r["node"]: r["nid"] for r in ddf.collect()}  # a later action
+    assert first == second
+    assert sorted(first.values()) == list(range(len(names)))
+    # reuse=True (the resume path) must read back, not rewrite
+    files_before = sorted(os.listdir(d_dir))
+    again = build_dictionary(nodes, 8, materialize_dir=d_dir, reuse=True)
+    assert {r["node"]: r["nid"] for r in again.collect()} == first
+    assert sorted(os.listdir(d_dir)) == files_before
+
+
+def test_encoded_resume_reuses_dictionary(spark, tmp_path):
+    """Kill/resume with encode_ids=True: the resumed run must decode
+    through the SAME materialized dictionary the killed run encoded
+    with (the committed iterate's nids were assigned by it), and the
+    final labels must match a raw-id run exactly."""
+    import os
+
+    pairs = list(dict.fromkeys(GRAPHS["erdos"]))
+    e = _edge_df(spark, pairs)
+    ck = str(tmp_path / "p")
+    connected_components(spark, e, max_iter=1, checkpoint_dir=ck, encode_ids=True)
+    d_dir = os.path.join(ck, "cc", "default", "dictionary")
+    files = sorted(os.listdir(d_dir))
+    resumed = connected_components(
+        spark, e, checkpoint_dir=ck, resume=True, encode_ids=True
+    )
+    assert sorted(os.listdir(d_dir)) == files  # reused, not rebuilt
+    assert resumed.converged
+    full = connected_components(spark, e, checkpoint_dir=str(tmp_path / "f"))
+    a = {r["node"]: r["component"] for r in full.state.collect()}
+    b = {r["node"]: r["component"] for r in resumed.state.collect()}
+    assert a == b
 
 
 def test_encode_ids_parity(spark, tmp_path):
