@@ -385,7 +385,14 @@ def q_ann_multiprobe(spark, sf_dir):
     from knext_spark.pipeline.similarity import lsh_ann_topk
 
     out = lsh_ann_topk(
-        _read(spark, sf_dir, "embeddings"), k=3, planes=4, probes=2
+        _read(spark, sf_dir, "embeddings"), k=3, planes=4, probes=2,
+        # the DuckDB oracle applies no bucket cap, and with a FIXED
+        # planes=4 (16 buckets) ordinary corpus growth would trip the
+        # default cap on every bucket long before any degeneracy —
+        # cap-free keeps the contract row oracle-equal at every SF.
+        # The default-on cap is for planes="auto" callers, where the
+        # expected bucket stays bounded as n grows.
+        max_bucket=None,
     )
     return out.select(
         "vec_id",
@@ -408,6 +415,7 @@ def q_ann_multiprobe_ranked(spark, sf_dir):
         planes=4,
         probes=2,
         probe_rank="distance",
+        max_bucket=None,  # cap-free: see q_ann_multiprobe
     )
     return out.select(
         "vec_id",
@@ -420,7 +428,10 @@ def q_ann_multiprobe_ranked(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     from knext_spark.pipeline import embedding_near_dups
 
-    out = embedding_near_dups(_read(spark, sf_dir, "embeddings"), threshold=0.2, planes=4)
+    out = embedding_near_dups(
+        _read(spark, sf_dir, "embeddings"), threshold=0.2, planes=4,
+        max_bucket=None,  # cap-free: see q_ann_multiprobe
+    )
     return out.select("a", "b", _micros(F.col("cosine")).alias("cosine_micros"))
 
 

@@ -26,9 +26,11 @@ Scale governors (the in-bucket re-rank is O(bucket^2)):
 - ``max_bucket`` prunes buckets holding more than that many vectors —
   a bucket that large means degenerate hyperplanes or near-constant
   embeddings, and exact re-ranking inside it is the quadratic hot-key
-  blowup at 100 TB. Pruned buckets are logged, not silently dropped
-  (mirrors ``max_posting``/``max_bucket`` in pipeline.dedup). Members
-  of a pruned bucket can still surface via probed buckets.
+  blowup at 100 TB (mirrors ``max_posting``/``max_bucket`` in
+  pipeline.dedup). The prune is planned lazily inside the consuming
+  query (no extra jobs); audit what a cap drops with ``hot_buckets``.
+  Members of a pruned bucket still surface via query-side probes
+  (``probes > 0``) in both lsh_ann_topk and embedding_near_dups.
 - ``planes="auto"`` sizes P ≈ log2(n / target_bucket) from the corpus
   size so the EXPECTED bucket is ~target_bucket — without it a fixed
   small P gives 2^P total buckets and every bucket grows linearly
@@ -41,12 +43,9 @@ cross-engine comparison.
 
 from __future__ import annotations
 
-import logging
 import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-
-_log = logging.getLogger(__name__)
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -183,26 +182,44 @@ def ranked_probe_buckets(
     return F.array_distinct(F.concat(F.array(bucket), flipped))
 
 
-def _prune_hot_buckets(
-    b: DataFrame, max_bucket: int | None, what: str
-) -> DataFrame:
-    """Drop rows whose bucket holds > max_bucket vectors; log the
-    prune. ``b`` must carry a ``bucket`` column. The count() of hot
-    buckets is one cheap aggregate job — the price of not silently
-    degrading recall."""
+def _prune_hot_buckets(b: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop rows whose bucket holds > max_bucket vectors. LAZY by
+    design: the over-cap bucket set is a left-anti join against a
+    bucket-size aggregate planned inside the consuming query — no
+    eager count() job re-scanning the per-plane projection on every
+    call even when the cap never trips (that projection is the
+    expensive part: P md5 folds per vector). The aggregate side is
+    tiny (<= 2^P rows) and broadcast. Audit which buckets a cap would
+    prune with ``hot_buckets`` (one explicit aggregate job)."""
     if max_bucket is None:
         return b
-    sizes = b.groupBy("bucket").agg(F.count("*").alias("sz"))
-    hot = sizes.where(F.col("sz") > max_bucket).select("bucket", "sz")
-    n_hot = hot.count()
-    if n_hot:
-        _log.warning(
-            "%s: pruning %d hot bucket(s) with > %d vectors "
-            "(degenerate-embedding guard; members may still surface "
-            "via probed buckets)", what, n_hot, max_bucket,
-        )
-        return b.join(F.broadcast(hot.select("bucket")), "bucket", "left_anti")
-    return b
+    hot = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("__bsz"))
+        .where(F.col("__bsz") > max_bucket)
+        .select("bucket")
+    )
+    return b.join(F.broadcast(hot), "bucket", "left_anti")
+
+
+def hot_buckets(
+    emb: DataFrame,
+    planes: int,
+    max_bucket: int,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """The audit report the prune itself no longer computes eagerly:
+    (bucket, size) for every bucket over ``max_bucket``. Run before a
+    big ANN job to see what a cap will drop (pruned members can still
+    surface via query-side probes in lsh_ann_topk/embedding_near_dups
+    with probes > 0)."""
+    b = emb.select(lsh_bucket(F.col(vec), planes).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") > max_bucket)
+    )
 
 
 def lsh_ann_topk(
@@ -223,10 +240,10 @@ def lsh_ann_topk(
     cosine_topk. The candidate side is NOT exploded — only queries
     probe extra buckets, so candidate storage and shuffle volume stay
     one row per vector. Buckets over ``max_bucket`` are pruned from
-    the CANDIDATE side (logged): the in-bucket re-rank is
-    O(bucket^2), and an oversized bucket means degenerate hyperplanes,
-    not similarity. ``planes="auto"`` sizes P from the corpus so the
-    expected bucket stays ~``target_bucket``."""
+    the CANDIDATE side (lazily — see _prune_hot_buckets): the
+    in-bucket re-rank is O(bucket^2), and an oversized bucket means
+    degenerate hyperplanes, not similarity. ``planes="auto"`` sizes P
+    from the corpus so the expected bucket stays ~``target_bucket``."""
     if planes == "auto":
         planes = auto_planes(emb.count(), target_bucket)
     planes = int(planes)
@@ -248,16 +265,19 @@ def lsh_ann_topk(
         )
         q = b.select("qid", "qv", F.explode(pset).alias("bucket"))
     c = b.select(F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket")
-    c = _prune_hot_buckets(c, max_bucket, "lsh_ann_topk")
+    c = _prune_hot_buckets(c, max_bucket)
     pairs = q.join(c, "bucket").where(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid", "nid", "bucket", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
     )
     if probes > 0:
         # a (q, n) pair can collide in several probed buckets — keep
-        # one row per pair (the candidate's own bucket is reported)
+        # one row per pair (the candidate's own bucket is reported).
+        # min on BOTH columns: cosine is functionally dependent on
+        # (qid, nid) so any pick agrees, but min says so structurally
+        # (first() would be order-dependent in general)
         scored = scored.groupBy("qid", "nid").agg(
-            F.min("bucket").alias("bucket"), F.first("cosine").alias("cosine")
+            F.min("bucket").alias("bucket"), F.min("cosine").alias("cosine")
         )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -275,25 +295,65 @@ def embedding_near_dups(
     vec: str = "embedding",
     max_bucket: int | None = 10000,
     target_bucket: int = 1024,
+    probes: int = 0,
+    probe_rank: str = "distance",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed
     candidate generation (a < b). Hot buckets over ``max_bucket`` are
-    pruned on BOTH sides (logged) — near-dup mining inside a
+    pruned from the CANDIDATE side — near-dup mining inside a
     degenerate bucket is O(bucket^2) boilerplate, the same hot-key
     blowup ``max_bucket`` bounds in pipeline.dedup's band join.
-    ``planes="auto"`` sizes P from the corpus size."""
+    ``planes="auto"`` sizes P from the corpus size.
+
+    ``probes > 0`` is the recall path for pruned-bucket members (same
+    design as lsh_ann_topk): the query side — never pruned — explodes
+    over the Hamming-adjacent probe buckets, so a vector whose own
+    bucket was pruned still pairs with near-dups in neighboring
+    buckets; only pairs BOTH of whose members sit inside the same
+    pruned bucket stay dropped (that O(bucket^2) interior is exactly
+    what the cap exists to bound). ``probe_rank="distance"`` flips the
+    smallest-margin planes first (Lv et al.); ``"fixed"`` uses plane
+    order. Pair output is orientation-normalized (a < b) and exact
+    cosine keeps the threshold semantics unchanged — probing only ever
+    ADDS candidate pairs."""
     if planes == "auto":
         planes = auto_planes(emb.count(), target_bucket)
     planes = int(planes)
     b = emb.select(
         F.col(key).alias("a"),
         F.col(vec).alias("va"),
-        lsh_bucket(F.col(vec), planes).alias("bucket"),
+        plane_dots(F.col(vec), planes).alias("dots"),
+    ).select("a", "va", "dots", bucket_of(F.col("dots"), planes).alias("bucket"))
+    cand = _prune_hot_buckets(
+        b.select(F.col("a").alias("b"), F.col("va").alias("vb"), "bucket"),
+        max_bucket,
     )
-    b = _prune_hot_buckets(b, max_bucket, "embedding_near_dups")
-    c = b.select(F.col("a").alias("b"), F.col("va").alias("vb"), "bucket")
-    pairs = b.join(c, "bucket").where(F.col("a") < F.col("b"))
-    scored = pairs.select(
-        "a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
-    ).distinct()
+    if probes > 0:
+        pset = (
+            ranked_probe_buckets(F.col("bucket"), F.col("dots"), planes, probes)
+            if probe_rank == "distance"
+            else probe_buckets(F.col("bucket"), planes, probes)
+        )
+        q = b.select("a", "va", F.explode(pset).alias("bucket"))
+        # probing sees a pair from either end — normalize orientation;
+        # cosine is bit-identical under the swap (commutative products,
+        # same index-order fold), so the distinct collapses duplicates
+        scored = (
+            q.join(cand, "bucket")
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            )
+            .distinct()
+        )
+    else:
+        q = b.select("a", "va", "bucket")
+        scored = (
+            q.join(cand, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
+            .distinct()
+        )
     return scored.where(F.col("cosine") >= threshold)

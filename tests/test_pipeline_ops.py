@@ -179,6 +179,67 @@ def test_ann_hot_bucket_cap_bounds_pairs(spark):
     assert capped_hi == un
 
 
+def test_near_dup_probe_recovery_from_pruned_bucket(spark):
+    """A near-dup pair with one member inside an over-cap (pruned)
+    bucket must still surface when probes > 0: the query side is never
+    pruned and explodes over Hamming-adjacent buckets, so hot-bucket
+    members recover pairs with neighbors in adjacent buckets. Pairs
+    entirely inside the pruned bucket stay dropped — that O(bucket^2)
+    interior is exactly what the cap exists to bound."""
+    import hashlib
+    import random
+
+    from knext_spark.pipeline.similarity import embedding_near_dups, lsh_bucket
+
+    emb = _degenerate_emb(spark)  # 40 vectors, all in ONE bucket H
+    hot = int(emb.select(lsh_bucket(F.col("embedding"), 4).alias("b")).first()["b"])
+
+    # search for a witness vector whose bucket sits at Hamming distance
+    # exactly 1 from H, using the engine's md5 weight formula verbatim
+    # (components are multiples of 1/64, exactly float32-representable,
+    # so the Python dot agrees in sign with the Spark one)
+    def plane_w(p, i):
+        h = int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    def bucket_py(v):
+        b = 0
+        for p in range(4):
+            if sum(x * plane_w(p, i) for i, x in enumerate(v)) >= 0:
+                b |= 1 << p
+        return b
+
+    rng = random.Random(3)
+    while True:
+        wvec = [rng.randrange(-256, 257) / 64 for _ in range(4)]
+        if bin(bucket_py(wvec) ^ hot).count("1") == 1:
+            break
+    wdf = spark.createDataFrame(
+        [(1000, wvec)], "vec_id long, embedding array<float>"
+    )
+    got_b = int(wdf.select(lsh_bucket(F.col("embedding"), 4).alias("b")).first()["b"])
+    assert bin(got_b ^ hot).count("1") == 1  # Python/Spark bucket agree
+    witness = 1000
+    full = emb.unionByName(wdf)
+
+    # cap=10 prunes the 40-member bucket; without probes the witness
+    # (alone in its bucket) pairs with nothing
+    assert (
+        embedding_near_dups(
+            full, threshold=-1.0, planes=4, max_bucket=10, probes=0
+        ).count()
+        == 0
+    )
+    # with all 4 one-bit probes every hot-bucket member reaches the
+    # witness's bucket: exactly the 40 recovered (member, witness) pairs
+    rec = embedding_near_dups(
+        full, threshold=-1.0, planes=4, max_bucket=10, probes=4
+    ).collect()
+    assert len(rec) == 40
+    assert all(r["a"] < r["b"] for r in rec)
+    assert all(witness in (r["a"], r["b"]) for r in rec)
+
+
 def test_ann_cap_noop_on_fixture(spark):
     """On the real embeddings fixture no bucket reaches the default
     cap, so capped == uncapped — keeps the driver's ann contract rows
