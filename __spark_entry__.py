@@ -19,8 +19,13 @@ All graph algorithms now carry full DuckDB oracles: triangle counting
 as a 3-way self-join, connected components as a WITH RECURSIVE
 transitive closure (min reachable id), and fixed-iteration PageRank /
 label propagation as programmatically unrolled CTE chains that mirror
-the engine's superstep arithmetic op-for-op (same IEEE operation
-order, so micros-rounded values match). Only the KGML parse
+the engine's superstep arithmetic — same operation STRUCTURE, not a
+bit-level guarantee: each engine folds its aggregation partials in
+its own order, so micros equality additionally relies on no value
+landing within ~1e-10 of a .5 micro-rounding boundary (see
+_pagerank_sql; robustness evidenced at a second graph shape in
+tests/test_entry_contract.py::test_pagerank_micros_oracle_second_graph
+on top of the two driver SFs). Only the KGML parse
 (``kgml_edges``) remains rows-only: DuckDB has no XML reader, so the
 oracle side cannot parse the corpus — parity for that operator is
 covered by the byte-exact golden tests against the executed reference
@@ -59,24 +64,29 @@ def _micros(c) -> F.Column:
     return F.floor(c * 1000000 + F.lit(0.5)).cast("long")
 
 
-def _edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edge_table(spark: SparkSession, sf_dir: str, mod: int = 1000) -> DataFrame:
     """Deterministic graph derived from lineitem: src/dst in a shared
-    mod-1000 id space (triangle-bearing, hub-skewed)."""
+    mod-``mod`` id space (triangle-bearing, hub-skewed). ``mod`` varies
+    the graph shape for robustness tests of the unrolled oracles."""
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.select(
-            (F.col("l_orderkey") % 1000).alias("src"),
-            (F.col("l_partkey") % 1000).alias("dst"),
+            (F.col("l_orderkey") % mod).alias("src"),
+            (F.col("l_partkey") % mod).alias("dst"),
         )
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
 
 
-_EDGE_SQL = (
-    "select distinct l_orderkey % 1000 as src, l_partkey % 1000 as dst "
-    "from lineitem"
-)
+def _edge_sql(mod: int = 1000) -> str:
+    return (
+        f"select distinct l_orderkey % {mod} as src, l_partkey % {mod} as dst "
+        "from lineitem"
+    )
+
+
+_EDGE_SQL = _edge_sql()
 
 
 # ---------------------------------------------------------------- entry
@@ -783,7 +793,7 @@ def _media_features_sql(dim: int = 8) -> str:
     """
 
 
-def _pagerank_sql(k: int = _PR_ITERS) -> str:
+def _pagerank_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
     """Unrolled K-step power iteration mirroring knext_spark.graph
     .pagerank op-for-op: w_norm = 1.0/out_w first then rank*w_norm,
     dangling mass via the 1 - sum(contribs) identity, rank' =
@@ -815,7 +825,7 @@ def _pagerank_sql(k: int = _PR_ITERS) -> str:
       from nodes left join c{i} on c{i}.node = nodes.node
     )""")
     return f"""
-    with e as materialized ({_EDGE_SQL}),
+    with e as materialized ({edge_sql}),
     outw as materialized (select src, cast(count(*) as double) as out_w from e group by src),
     ne as materialized (select e.src, e.dst, cast(1.0 as double) / outw.out_w as w_norm
            from e join outw on outw.src = e.src),

@@ -73,6 +73,41 @@ def test_query_contract(spark, ddb, name):
     )
 
 
+def test_pagerank_micros_oracle_second_graph(spark, ddb, tmp_path):
+    """Robustness of the unrolled PageRank oracle beyond the driver's
+    fixed graph: the engines fold their aggregation partials in
+    different orders, so micros equality relies on no rank landing
+    within ~1e-10 of a .5 rounding boundary. A second graph shape
+    (mod=797: different node count, degrees, and rank values) plus the
+    two driver SFs gives three independent data points that the
+    boundary case does not occur on this corpus family."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import pagerank
+
+    edges = entrymod._edge_table(spark, SF_DIR, mod=797)
+    res = pagerank(
+        spark,
+        edges,
+        tol=0.0,
+        max_iter=entrymod._PR_ITERS,
+        checkpoint_dir=str(tmp_path / "pr797"),
+        cadence=50,
+    )
+    df = res.state.select(
+        "node", entrymod._micros(F.col("rank")).alias("rank_micros")
+    )
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb, entrymod._pagerank_sql(entrymod._PR_ITERS, entrymod._edge_sql(797))
+    )
+    assert got_cols == want_cols
+    assert len(got) == len(want)
+    assert got == want
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
