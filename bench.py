@@ -286,6 +286,38 @@ def _steady_superstep_walls(spark, edges, steps: int, n_part: int) -> list[float
     ]
 
 
+def _ensure_scale_edges(sf, n_docs, replicas, n_part, conf) -> str:
+    """The 118.9M-edge int64-keyed scaling corpus: generate once (KGML
+    parse, replicate into disjoint id spaces, xxhash64-encode) and
+    reuse via $SPARK_GRAFT_SCALE_EDGES across runs."""
+    from knext_spark.session import get_spark
+
+    edge_dir = os.environ.get("SPARK_GRAFT_SCALE_EDGES", "")
+    if edge_dir and os.path.exists(os.path.join(edge_dir, "_SUCCESS")):
+        return edge_dir
+    edge_dir = edge_dir or tempfile.mkdtemp(prefix="bench_scale_edges_")
+    spark = get_spark(
+        "bench_scale_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    # mixed mode: pure-Catalyst edge build (no per-doc propagation)
+    # — the scaling subject is superstep throughput
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    rep = base.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
+    (
+        rep.select(
+            F.xxhash64("src", "rep").alias("src"),
+            F.xxhash64("dst", "rep").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    spark.stop()
+    return edge_dir
+
+
 def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
     """Same PageRank job at several parallelism levels on the same input.
 
@@ -359,28 +391,7 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
         "spark.buffer.pageSize": "8m",
     }
 
-    edge_dir = os.environ.get("SPARK_GRAFT_SCALE_EDGES", "")
-    if not edge_dir or not os.path.exists(os.path.join(edge_dir, "_SUCCESS")):
-        edge_dir = edge_dir or tempfile.mkdtemp(prefix="bench_scale_edges_")
-        spark = get_spark(
-            "bench_scale_gen", master="local[32]",
-            shuffle_partitions=n_part, extra_conf=no_aqe,
-        )
-        # mixed mode: pure-Catalyst edge build (no per-doc propagation)
-        # — the scaling subject is PageRank superstep throughput
-        base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
-        rep = base.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
-        (
-            rep.select(
-                F.xxhash64("src", "rep").alias("src"),
-                F.xxhash64("dst", "rep").alias("dst"),
-                F.lit(1.0).alias("weight"),
-            )
-            .repartition(n_part)
-            .write.mode("overwrite")
-            .parquet(edge_dir)
-        )
-        spark.stop()
+    edge_dir = _ensure_scale_edges(sf, n_docs, replicas, n_part, no_aqe)
 
     out = {}
     for cpus in levels:
@@ -528,6 +539,132 @@ def run_encode_gain(sf_dir: str) -> dict:
     }
 
 
+def run_skew(sf_dir: str) -> dict:
+    """Hub-skew evidence for CC/LPA at the scaling-bench edge scale.
+
+    Claim under test: the per-key aggregates inside each superstep —
+    min for the star contractions, count for LPA's label frequencies —
+    are map-side combinable, so a hot key reduces to one row per
+    upstream partition before the exchange and superstep wall time is
+    insensitive to a hub vertex. The per-superstep join against the
+    hot key's rows is the residual skew (one task carries the hub's
+    fan-out); salting is the documented escalation if it dominates.
+
+    Protocol: the same input twice — the uniform 118.9M-edge corpus,
+    and the identical corpus plus ONE hub vertex with
+    $SPARK_GRAFT_SKEW_HUB (default 4,000,000) extra distinct
+    neighbors folded in (both written to Parquet; both variants read
+    stable bytes). Same session, AQE off, tmpfs shuffle dirs — the
+    --scaling protocol. LPA runs a fixed $SPARK_GRAFT_SKEW_STEPS
+    supersteps (state shape is constant per step, so the back-half
+    median is the steady-state s/step); CC contracts its state each
+    round, so it runs a fixed number of rounds and reports per-round
+    walls (compare round k to round k — contraction makes a single
+    median meaningless). Headline value: hub/uniform ratio of the LPA
+    steady s/step (1.0 = skew fully absorbed)."""
+    import statistics
+
+    from knext_spark.graph import connected_components, label_propagation
+    from knext_spark.session import get_spark
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "14"))
+    hub_deg = int(os.environ.get("SPARK_GRAFT_SKEW_HUB", "4000000"))
+    steps = int(os.environ.get("SPARK_GRAFT_SKEW_STEPS", "5"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    uniform_dir = _ensure_scale_edges(sf, n_docs, replicas, n_part, conf)
+    spark = get_spark(
+        "bench_skew", master=f"local[{cpus}]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    hub_dir = tempfile.mkdtemp(prefix="bench_skew_edges_")
+    base = spark.read.parquet(uniform_dir)
+    hub_edges = spark.range(hub_deg).select(
+        F.xxhash64(F.col("id"), F.lit("skew-neighbor")).alias("src"),
+        F.lit(-1).cast("long").alias("dst"),  # the hub
+        F.lit(1.0).alias("weight"),
+    )
+    base.unionByName(hub_edges).repartition(n_part).write.mode(
+        "overwrite"
+    ).parquet(hub_dir)
+
+    def one_variant(d: str, salt_k=1) -> dict:
+        edges = spark.read.parquet(d).persist()
+        n_edges = edges.count()
+        lpa = label_propagation(
+            spark, edges, max_iter=steps, cadence=1000,
+            checkpoint_dir=tempfile.mkdtemp(prefix="bench_skew_lpa_"),
+            salt_k=salt_k,
+        )
+        lpa_walls = [
+            round(float(m["wall_s"]), 2)
+            for m in lpa.metrics
+            if m.get("iteration", 0) >= 1 and "wall_s" in m
+        ]
+        cc = connected_components(
+            spark, edges, max_iter=steps, cadence=1000,
+            checkpoint_dir=tempfile.mkdtemp(prefix="bench_skew_cc_"),
+            salt_k=salt_k,
+        )
+        cc_walls = [
+            round(float(m["wall_s"]), 2)
+            for m in cc.metrics
+            if m.get("iteration", 0) >= 1 and "wall_s" in m
+        ]
+        edges.unpersist()
+        return {
+            "n_edges": n_edges,
+            "lpa_s_per_step": round(
+                statistics.median(lpa_walls[len(lpa_walls) // 2:]), 3
+            ),
+            "lpa_per_superstep_walls": lpa_walls,
+            "cc_per_round_walls": cc_walls,
+            "cc_total_s": round(sum(cc_walls), 2),
+            "cc_rounds": cc.iterations,
+            "cc_converged": cc.converged,
+        }
+
+    salt = os.environ.get("SPARK_GRAFT_SKEW_SALT", "auto")
+    salt = salt if salt == "auto" else int(salt)
+    out = {
+        "uniform": one_variant(uniform_dir),
+        "hub": one_variant(hub_dir),
+        "hub_salted": one_variant(hub_dir, salt_k=salt),
+    }
+    spark.stop()
+    raw = out["hub"]["lpa_s_per_step"] / out["uniform"]["lpa_s_per_step"]
+    salted = out["hub_salted"]["lpa_s_per_step"] / out["uniform"]["lpa_s_per_step"]
+    # the hub variants carry hub_degree MORE edges; divide out the
+    # volume delta so the ratios isolate the skew effect proper
+    vol = out["hub"]["n_edges"] / out["uniform"]["n_edges"]
+    return {
+        "metric": "skew_overhead_lpa_hub_salted_vs_uniform",
+        "value": round(salted / vol, 3),
+        "unit": "ratio",
+        "lpa_hub_unsalted_ratio": round(raw / vol, 3),
+        "lpa_ratio_raw_unsalted": round(raw, 3),
+        "edge_volume_ratio": round(vol, 4),
+        "salt_k": salt,
+        "hub_degree": hub_deg,
+        "supersteps": steps,
+        "cpus": cpus,
+        "variants": out,
+    }
+
+
 def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
@@ -628,5 +765,7 @@ if __name__ == "__main__":
         emit(run_encode_gain(sf_dir))
     elif "--refcmp" in sys.argv:
         emit(run_refcmp())
+    elif "--skew" in sys.argv:
+        emit(run_skew(sf_dir))
     else:
         emit(run_suite(sf_dir, cpus))

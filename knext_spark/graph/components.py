@@ -32,30 +32,50 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _salted_min_join(big: DataFrame, salt_k: int) -> DataFrame:
+    """Join ``big(u, v, ...)`` with its own per-u min(v) aggregate,
+    returning big's rows extended with ``mv``. The min aggregate is
+    map-side combinable (a hub key reduces to one row per upstream
+    partition), but the JOIN streams the hub's whole fan-out through
+    one task; ``salt_k > 1`` splits the key to (u, salt) — big gets a
+    deterministic per-row salt, the tiny mins side replicates k-fold —
+    so a hub's rows spread over k tasks (same design as pagerank's
+    salt_k; measured on a 4M-degree hub in BENCH.md §5)."""
+    mins = big.groupBy("u").agg(F.min("v").alias("mv"))
+    if salt_k <= 1:
+        # mins is the small aggregated side and both sides are already
+        # shuffled on u — hash it instead of sort-merging (which would
+        # sort the full edge list every round)
+        return big.join(mins.hint("shuffle_hash"), "u")
+    salted = big.withColumn("__salt", F.pmod(F.xxhash64("u", "v"), F.lit(salt_k)))
+    mins_k = mins.select(
+        "u",
+        "mv",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))).alias("__salt"),
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return salted.join(mins_k.hint("shuffle_hash"), ["u", "__salt"]).drop("__salt")
+
+
+def _large_star(e: DataFrame, salt_k: int = 1) -> DataFrame:
     bidir = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
-    # mins is the small aggregated side and both sides are already
-    # shuffled on u — hash it instead of sort-merging (which would sort
-    # the full bidirectional edge list every round)
     return (
-        bidir.join(mins.hint("shuffle_hash"), "u")
+        _salted_min_join(bidir, salt_k)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
         .distinct()
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, salt_k: int = 1) -> DataFrame:
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        oriented.join(mins.hint("shuffle_hash"), "u")
+        _salted_min_join(oriented, salt_k)
         .select(F.col("v").alias("u"), F.col("mv").alias("v"))
         .unionByName(mins.select(F.col("u"), F.col("mv").alias("v")))
         .where(F.col("u") != F.col("v"))
@@ -82,10 +102,22 @@ def connected_components(
     max_iter: int = 50,
     cadence: int = 1,
     encode_ids: bool = False,
+    salt_k: int | str = 1,
 ) -> SuperstepResult:
     """edges(src, dst) -> SuperstepResult with state
     (node, component) where component = min node id of the component.
     Isolated nodes (self-loop-only) label themselves.
+
+    ``salt_k > 1`` salts the per-round star joins (see
+    _salted_min_join) — the min aggregations are already map-side
+    combinable, but a hub's fan-out otherwise streams through one join
+    task per round, and the star-forest fixpoint makes every large
+    component's representative exactly such a hub. ``salt_k="auto"``
+    picks k from the INPUT's max undirected degree (one aggregate);
+    note the contraction concentrates fan-in on component
+    representatives as rounds progress, so for graphs whose largest
+    component is far bigger than its max input degree an explicit
+    salt_k sized to the component scale is the right call.
 
     ``encode_ids=True`` runs the star contractions on dense int64
     codes (graph.encode) and decodes — EXACTLY the same labels as a
@@ -118,6 +150,7 @@ def connected_components(
             resume=resume,
             max_iter=max_iter,
             cadence=cadence,
+            salt_k=salt_k,
         )
         out = decode_cols(res.state, dic, "node", "component")
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
@@ -128,6 +161,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+
+    if salt_k == "auto":
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        deg = (
+            und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .groupBy("a")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]["m"]
+        ) or 0
+        salt_k = max(1, min(64, -(-int(deg) // 1_000_000)))
+    salt_k = int(salt_k)
 
     def init_state() -> DataFrame:
         return (
@@ -146,7 +192,9 @@ def connected_components(
         # ~1.5x SLOWER per superstep for LPA at the 118.9M-edge scale
         # (see the negative-result note in lpa.py); the signature scan
         # of the persisted blocks is cheap, so two launches it is
-        new = _small_star(_large_star(state)).localCheckpoint(eager=True)
+        new = _small_star(_large_star(state, salt_k), salt_k).localCheckpoint(
+            eager=True
+        )
         last_new[0] = new
         sig = _signature(new)
         changed = sig != prev_sig[0]

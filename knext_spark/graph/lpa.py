@@ -17,14 +17,25 @@ oracle (tests/test_graph_algos.py):
   tie-break makes every run reproducible bit-for-bit).
 
 Each superstep: one join (labels onto the bidirected edge list), one
-groupBy (label frequencies per node), one window (argmax with
-deterministic tie-break) — all shuffle-keyed on node. Checkpoint/resume
-via SuperstepRunner.
+groupBy (label frequencies per node), one combinable argmax aggregate
+(min over (-cnt, label) structs — partial aggregation reduces a hot
+node's candidate labels per map partition, where a row_number window
+would sort them all in ONE task) — all shuffle-keyed on node.
+Checkpoint/resume via SuperstepRunner.
+
+Hub skew: the per-superstep label join streams a hub's entire fan-out
+through one task (bidir is partitioned by the join key v; measured
++36%/superstep from a single 4M-degree hub folded into the 118.9M-edge
+input, BENCH.md §5). ``salt_k > 1`` splits the join key to (v, salt):
+bidir gets a deterministic per-edge salt, labels replicate k-fold, and
+the hub's fan-out spreads over k tasks — the same two-level design as
+pagerank's ``salt_k``. ``salt_k="auto"`` picks k from the max
+undirected degree (one aggregate, k = ceil(max_deg / 1e6), capped 64).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
@@ -38,6 +49,7 @@ def label_propagation(
     resume: bool = False,
     cadence: int = 1,
     encode_ids: bool = False,
+    salt_k: int | str = 1,
 ) -> SuperstepResult:
     """edges(src, dst) -> SuperstepResult with state (node, label).
 
@@ -72,6 +84,7 @@ def label_propagation(
             run_id=run_id,
             resume=resume,
             cadence=cadence,
+            salt_k=salt_k,
         )
         out = decode_cols(res.state, dic, "node", "label")
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
@@ -84,12 +97,22 @@ def label_propagation(
     # partition the (static) bidirected edge list by the per-step join
     # key once; every superstep's labels join then co-partitions against
     # it instead of re-shuffling the edges
-    bidir = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition("v")
-        .persist()
-    )
+    bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    if salt_k == "auto":
+        m = (
+            bidir.groupBy("v")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]["m"]
+        ) or 0
+        salt_k = max(1, min(64, -(-int(m) // 1_000_000)))
+    salt_k = int(salt_k)
+    if salt_k > 1:
+        bidir = bidir.withColumn(
+            "salt", F.pmod(F.xxhash64("u", "v"), F.lit(salt_k))
+        ).repartition("v", "salt").persist()
+    else:
+        bidir = bidir.repartition("v").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -107,17 +130,35 @@ def label_propagation(
         labels = state.select("node", "label")
         # hash the small labels side; sort-merge would sort the full
         # edge list every superstep
-        msgs = bidir.join(
-            labels.hint("shuffle_hash"), bidir["v"] == labels["node"]
-        ).select(
-            F.col("u").alias("node"), "label"
-        )
+        if salt_k > 1:
+            salted = labels.select(
+                "node",
+                "label",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))).alias("salt"),
+            ).withColumn("salt", F.col("salt").cast("long"))
+            msgs = bidir.join(
+                salted.hint("shuffle_hash"),
+                (bidir["v"] == salted["node"]) & (bidir["salt"] == salted["salt"]),
+            ).select(F.col("u").alias("node"), "label")
+        else:
+            msgs = bidir.join(
+                labels.hint("shuffle_hash"), bidir["v"] == labels["node"]
+            ).select(F.col("u").alias("node"), "label")
         freq = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        # argmax with the pinned tie-break as a MIN over (-cnt, label)
+        # structs: identical semantics to the row_number window it
+        # replaces (largest cnt, then smallest label), but combinable —
+        # a hot node's candidate labels partially aggregate per map
+        # partition instead of all sorting in one window task, and no
+        # per-superstep sort at all
         best = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            freq.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("s")
+            )
+            .select("node", F.col("s.l").alias("new_label"))
         )
         new = (
             labels.join(best, "node", "left")

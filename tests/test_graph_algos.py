@@ -334,6 +334,30 @@ def test_graph_algos_no_block_residue(spark, tmp_path):
     assert after == before
 
 
+def test_salted_cc_lpa_parity(spark, tmp_path):
+    """salt_k must not change results — salting only re-routes a hot
+    key's join rows across k tasks. Hub graph included (the case
+    salting exists for: BENCH.md §5 measures the unsalted hub cost)."""
+    for gname in ("hub", "erdos"):
+        pairs = list(dict.fromkeys(GRAPHS[gname]))
+        e = _edge_df(spark, pairs)
+        a = {r["node"]: r["component"] for r in connected_components(
+            spark, e, checkpoint_dir=str(tmp_path / f"c1{gname}")
+        ).state.collect()}
+        b = {r["node"]: r["component"] for r in connected_components(
+            spark, e, checkpoint_dir=str(tmp_path / f"c2{gname}"), salt_k=4
+        ).state.collect()}
+        assert a == b
+        la = {r["node"]: r["label"] for r in label_propagation(
+            spark, e, max_iter=6, checkpoint_dir=str(tmp_path / f"l1{gname}")
+        ).state.collect()}
+        lb = {r["node"]: r["label"] for r in label_propagation(
+            spark, e, max_iter=6, checkpoint_dir=str(tmp_path / f"l2{gname}"),
+            salt_k=4,
+        ).state.collect()}
+        assert la == lb
+
+
 def test_dictionary_order_preserving_dense(spark):
     from knext_spark.graph.encode import build_dictionary
     from knext_spark.graph.superstep import unpersist_checkpoint
