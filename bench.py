@@ -601,13 +601,13 @@ def run_skew(sf_dir: str) -> dict:
         "overwrite"
     ).parquet(hub_dir)
 
-    def one_variant(d: str, salt_k=1) -> dict:
+    def one_variant(d: str, salt_k=1, hot_threshold=None) -> dict:
         edges = spark.read.parquet(d).persist()
         n_edges = edges.count()
         lpa = label_propagation(
             spark, edges, max_iter=steps, cadence=1000,
             checkpoint_dir=tempfile.mkdtemp(prefix="bench_skew_lpa_"),
-            salt_k=salt_k,
+            salt_k=salt_k, hot_threshold=hot_threshold,
         )
         lpa_walls = [
             round(float(m["wall_s"]), 2)
@@ -639,23 +639,41 @@ def run_skew(sf_dir: str) -> dict:
 
     salt = os.environ.get("SPARK_GRAFT_SKEW_SALT", "auto")
     salt = salt if salt == "auto" else int(salt)
-    out = {
-        "uniform": one_variant(uniform_dir),
-        "hub": one_variant(hub_dir),
-        "hub_salted": one_variant(hub_dir, salt_k=salt),
+    # uniform = baseline; hub = unmitigated; hub_hot = LPA hot-key
+    # broadcast split (hot_threshold='auto'); hub_salted = per-superstep
+    # salting (measured strictly worse than unmitigated — BENCH.md §5)
+    which = os.environ.get(
+        "SPARK_GRAFT_SKEW_VARIANTS", "uniform,hub,hub_hot,hub_salted"
+    ).split(",")
+    runners = {
+        "uniform": lambda: one_variant(uniform_dir),
+        "hub": lambda: one_variant(hub_dir),
+        "hub_hot": lambda: one_variant(hub_dir, hot_threshold="auto"),
+        "hub_salted": lambda: one_variant(hub_dir, salt_k=salt),
     }
+    out = {name: runners[name]() for name in which}
     spark.stop()
-    raw = out["hub"]["lpa_s_per_step"] / out["uniform"]["lpa_s_per_step"]
-    salted = out["hub_salted"]["lpa_s_per_step"] / out["uniform"]["lpa_s_per_step"]
+    base = out["uniform"]["lpa_s_per_step"]
     # the hub variants carry hub_degree MORE edges; divide out the
     # volume delta so the ratios isolate the skew effect proper
-    vol = out["hub"]["n_edges"] / out["uniform"]["n_edges"]
+    vol = next(
+        (out[k]["n_edges"] for k in out if k != "uniform"),
+        out["uniform"]["n_edges"],
+    ) / out["uniform"]["n_edges"]
+    ratios = {
+        f"lpa_{k}_ratio": round(out[k]["lpa_s_per_step"] / base / vol, 3)
+        for k in out
+        if k != "uniform"
+    }
+    headline = (
+        "lpa_hub_hot_ratio" if "hub_hot" in out
+        else next(iter(ratios), "lpa_uniform_ratio")
+    )
     return {
-        "metric": "skew_overhead_lpa_hub_salted_vs_uniform",
-        "value": round(salted / vol, 3),
+        "metric": f"skew_overhead_{headline}",
+        "value": ratios.get(headline, 1.0),
         "unit": "ratio",
-        "lpa_hub_unsalted_ratio": round(raw / vol, 3),
-        "lpa_ratio_raw_unsalted": round(raw, 3),
+        **ratios,
         "edge_volume_ratio": round(vol, 4),
         "salt_k": salt,
         "hub_degree": hub_deg,

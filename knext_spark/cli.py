@@ -131,12 +131,16 @@ def cmd_graph(args):
         res = connected_components(
             spark, edges, checkpoint_dir=args.checkpoint_dir,
             run_id=args.run_id, resume=args.resume, cadence=args.cadence,
+            salt_k=args.salt_k,
         )
     elif args.verb == "lpa":
+        hot = args.hot_threshold
         res = label_propagation(
             spark, edges, max_iter=args.max_iter,
             checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
             resume=args.resume, cadence=args.cadence,
+            salt_k=args.salt_k,
+            hot_threshold=hot if hot in ("auto", "off") else int(hot),
         )
     else:  # triangles
         triangle_count(edges).write.mode("overwrite").parquet(args.out)
@@ -197,6 +201,8 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--alpha", type=float, default=0.85)
         s.add_argument("--tol", type=float, default=1.0e-6)
         s.add_argument("--salt-k", default=1)
+        # lpa only: hot-key broadcast split threshold (auto|off|int)
+        s.add_argument("--hot-threshold", default="auto")
         s.set_defaults(fn=cmd_graph)
     return p
 

@@ -25,12 +25,28 @@ Checkpoint/resume via SuperstepRunner.
 
 Hub skew: the per-superstep label join streams a hub's entire fan-out
 through one task (bidir is partitioned by the join key v; measured
-+36%/superstep from a single 4M-degree hub folded into the 118.9M-edge
-input, BENCH.md §5). ``salt_k > 1`` splits the join key to (v, salt):
-bidir gets a deterministic per-edge salt, labels replicate k-fold, and
-the hub's fan-out spreads over k tasks — the same two-level design as
-pagerank's ``salt_k``. ``salt_k="auto"`` picks k from the max
-undirected degree (one aggregate, k = ceil(max_deg / 1e6), capped 64).
++35%/superstep from a single 4M-degree hub folded into the 118.9M-edge
+input, BENCH.md §5). Two mitigations, both measured there:
+
+- ``hot_threshold`` (default ``"auto"``, the production path): the
+  graph is static, so hub keys are found ONCE (one combinable degree
+  aggregate); edges whose join key is hot are split off and spread
+  round-robin, and each superstep joins them against a BROADCAST of
+  just the hot keys' labels (<= 1024 rows) while the cold edges keep
+  the co-partitioned shuffle join. No state replication, no
+  straggler task — the classic skew-join broadcast split. ``"auto"``
+  marks keys whose undirected degree exceeds one shuffle partition's
+  edge share (floor 100k); 0/None disables.
+- ``salt_k > 1`` splits the join key to (v, salt): bidir gets a
+  deterministic per-edge salt, labels replicate k-fold, and the hub's
+  fan-out spreads over k tasks — pagerank's two-level design.
+  Measured STRICTLY WORSE here (2.80x vs the hub's unsalted 1.35x,
+  BENCH.md §5): replicating the whole ~19M-row label frame k-fold
+  through the shuffle every superstep swamps the one straggler it
+  removes. Default stays 1; the knob remains for graphs with
+  thousands of moderately-hot keys where a bounded broadcast set
+  cannot cover the skew. ``salt_k="auto"`` picks k from the max
+  undirected degree (k = ceil(max_deg / 1e6), capped 64).
 """
 
 from __future__ import annotations
@@ -50,6 +66,7 @@ def label_propagation(
     cadence: int = 1,
     encode_ids: bool = False,
     salt_k: int | str = 1,
+    hot_threshold: int | str | None = "auto",
 ) -> SuperstepResult:
     """edges(src, dst) -> SuperstepResult with state (node, label).
 
@@ -85,6 +102,7 @@ def label_propagation(
             resume=resume,
             cadence=cadence,
             salt_k=salt_k,
+            hot_threshold=hot_threshold,
         )
         out = decode_cols(res.state, dic, "node", "label")
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
@@ -98,14 +116,39 @@ def label_propagation(
     # key once; every superstep's labels join then co-partitions against
     # it instead of re-shuffling the edges
     bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    if salt_k == "auto":
-        m = (
-            bidir.groupBy("v")
-            .agg(F.count("*").alias("c"))
-            .agg(F.max("c").alias("m"))
-            .collect()[0]["m"]
-        ) or 0
-        salt_k = max(1, min(64, -(-int(m) // 1_000_000)))
+    hot: list = []
+    bidir_hot = None
+    if salt_k == "auto" or (hot_threshold not in (None, 0, "off")):
+        deg = bidir.groupBy("v").agg(F.count("*").alias("c")).persist()
+        stats = deg.agg(
+            F.max("c").alias("m"), F.sum("c").alias("n_bidir")
+        ).collect()[0]
+        max_deg, n_bidir = int(stats["m"] or 0), int(stats["n_bidir"] or 0)
+        if salt_k == "auto":
+            salt_k = max(1, min(64, -(-max_deg // 1_000_000)))
+        if hot_threshold not in (None, 0, "off"):
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            thr = (
+                max(100_000, n_bidir // max(1, n_part))
+                if hot_threshold == "auto"
+                else int(hot_threshold)
+            )
+            hot = [
+                r["v"]
+                for r in deg.where(F.col("c") > thr)
+                .orderBy(F.col("c").desc())
+                .limit(1024)
+                .collect()
+            ]
+        deg.unpersist()
+    if hot:
+        # hub fan-outs leave the co-partitioned cold path: spread
+        # round-robin, joined per-superstep against a broadcast of the
+        # <=1024 hot labels — no single task owns a hub's edges
+        bidir_hot = bidir.where(F.col("v").isin(hot)).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        ).persist()
+        bidir = bidir.where(~F.col("v").isin(hot))
     salt_k = int(salt_k)
     if salt_k > 1:
         bidir = bidir.withColumn(
@@ -144,6 +187,13 @@ def label_propagation(
             msgs = bidir.join(
                 labels.hint("shuffle_hash"), bidir["v"] == labels["node"]
             ).select(F.col("u").alias("node"), "label")
+        if bidir_hot is not None:
+            hot_labels = labels.where(F.col("node").isin(hot))
+            msgs = msgs.unionByName(
+                bidir_hot.join(
+                    F.broadcast(hot_labels), bidir_hot["v"] == hot_labels["node"]
+                ).select(F.col("u").alias("node"), "label")
+            )
         freq = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
         # argmax with the pinned tie-break as a MIN over (-cnt, label)
         # structs: identical semantics to the row_number window it
@@ -191,6 +241,8 @@ def label_propagation(
     runner = SuperstepRunner(spark, "lpa", run_id, checkpoint_dir, cadence=cadence)
     res = runner.run(init_state, step, converged, max_iter, resume=resume)
     bidir.unpersist()
+    if bidir_hot is not None:
+        bidir_hot.unpersist()
     nodes.unpersist()
     for df in retired:  # committed state supersedes working layers
         unpersist_checkpoint(df)

@@ -454,3 +454,32 @@ def test_encode_ids_parity(spark, tmp_path):
         spark, e, max_iter=8, checkpoint_dir=str(tmp_path / "el"), encode_ids=True
     ).state.collect()}
     assert raw_lp == enc_lp  # bit-identical: tie-breaks preserved
+
+
+def test_hot_broadcast_lpa_parity(spark, tmp_path):
+    """hot_threshold must not change results — hot keys' fan-out rows
+    just take the broadcast path instead of the co-partitioned shuffle
+    join. Forced low threshold makes EVERY key hot on the hub graph
+    (broadcast path carries all messages) and a mid threshold splits
+    hub vs cold on erdos; both must equal the plain run, including a
+    salted+hot combination."""
+    for gname, thr in (("hub", 1), ("erdos", 1), ("erdos", 3), ("hub", 10)):
+        pairs = list(dict.fromkeys(GRAPHS[gname]))
+        e = _edge_df(spark, pairs)
+        plain = {r["node"]: r["label"] for r in label_propagation(
+            spark, e, max_iter=6,
+            checkpoint_dir=str(tmp_path / f"hp{gname}{thr}"),
+            hot_threshold=None,
+        ).state.collect()}
+        hot = {r["node"]: r["label"] for r in label_propagation(
+            spark, e, max_iter=6,
+            checkpoint_dir=str(tmp_path / f"hh{gname}{thr}"),
+            hot_threshold=thr,
+        ).state.collect()}
+        assert hot == plain
+        both = {r["node"]: r["label"] for r in label_propagation(
+            spark, e, max_iter=6,
+            checkpoint_dir=str(tmp_path / f"hb{gname}{thr}"),
+            hot_threshold=thr, salt_k=3,
+        ).state.collect()}
+        assert both == plain
