@@ -577,8 +577,17 @@ def run_skew(sf_dir: str) -> dict:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
     shm = "/dev/shm/spark-scale-tmp"
     os.makedirs(shm, exist_ok=True)
+    # default: fixed-plan protocol (AQE off, the --scaling convention).
+    # SPARK_GRAFT_SKEW_AQE=1 flips AQE + skew-join splitting on to
+    # measure production-mode adaptive absorption of the same hub
+    # (forceOptimize needed: the star/label joins are shuffle_hash-
+    # hinted and AQE otherwise declines to split to avoid extra
+    # shuffles). Results in BENCH.md §5.
+    aqe = os.environ.get("SPARK_GRAFT_SKEW_AQE", "0") == "1"
     conf = {
-        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.adaptive.enabled": "true" if aqe else "false",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
         "spark.local.dir": shm,
         "spark.memory.offHeap.enabled": "true",
         "spark.memory.offHeap.size": "24g",
@@ -592,10 +601,23 @@ def run_skew(sf_dir: str) -> dict:
     )
     hub_dir = tempfile.mkdtemp(prefix="bench_skew_edges_")
     base = spark.read.parquet(uniform_dir)
-    hub_edges = spark.range(hub_deg).select(
-        F.xxhash64(F.col("id"), F.lit("skew-neighbor")).alias("src"),
-        F.lit(-1).cast("long").alias("dst"),  # the hub
-        F.lit(1.0).alias("weight"),
+    # the hub links to EXISTING nodes: the two inputs then differ only
+    # in the one hot key (+hub_deg edges on it), so the comparison
+    # isolates join skew. (The round-4 first cut synthesized NEW
+    # neighbor ids — that inflated the node set ~48% and measured
+    # state-growth, not skew; see BENCH.md §5.)
+    hub_edges = (
+        base.select(F.col("src").alias("n"))
+        .unionByName(base.select(F.col("dst").alias("n")))
+        .distinct()
+        .where(F.col("n") != -1)
+        .orderBy("n")
+        .limit(hub_deg)
+        .select(
+            F.col("n").alias("src"),
+            F.lit(-1).cast("long").alias("dst"),  # the hub
+            F.lit(1.0).alias("weight"),
+        )
     )
     base.unionByName(hub_edges).repartition(n_part).write.mode(
         "overwrite"
@@ -675,6 +697,7 @@ def run_skew(sf_dir: str) -> dict:
         "unit": "ratio",
         **ratios,
         "edge_volume_ratio": round(vol, 4),
+        "aqe": aqe,
         "salt_k": salt,
         "hub_degree": hub_deg,
         "supersteps": steps,

@@ -136,7 +136,7 @@ def label_propagation(
             hot = [
                 r["v"]
                 for r in deg.where(F.col("c") > thr)
-                .orderBy(F.col("c").desc())
+                .orderBy(F.col("c").desc(), F.col("v").asc())
                 .limit(1024)
                 .collect()
             ]
