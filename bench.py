@@ -664,28 +664,42 @@ def run_skew(sf_dir: str) -> dict:
     # uniform = baseline; hub = unmitigated; hub_hot = LPA hot-key
     # broadcast split (hot_threshold='auto'); hub_salted = per-superstep
     # salting (measured strictly worse than unmitigated — BENCH.md §5)
-    which = os.environ.get(
-        "SPARK_GRAFT_SKEW_VARIANTS", "uniform,hub,hub_hot,hub_salted"
-    ).split(",")
     runners = {
         "uniform": lambda: one_variant(uniform_dir),
         "hub": lambda: one_variant(hub_dir),
         "hub_hot": lambda: one_variant(hub_dir, hot_threshold="auto"),
         "hub_salted": lambda: one_variant(hub_dir, salt_k=salt),
     }
+    which = [
+        w.strip()
+        for w in os.environ.get(
+            "SPARK_GRAFT_SKEW_VARIANTS", "uniform,hub,hub_hot,hub_salted"
+        ).split(",")
+    ]
+    unknown = [w for w in which if w and w not in runners]
+    if unknown:
+        print(f"skew: ignoring unknown variant(s) {unknown}; "
+              f"valid: {sorted(runners)}")
+    which = [w for w in which if w in runners]
     out = {name: runners[name]() for name in which}
     spark.stop()
-    base = out["uniform"]["lpa_s_per_step"]
+    # ratios need the uniform baseline; a hub-only selection (e.g. to
+    # re-measure one mitigation) still returns its absolute walls
+    base = out.get("uniform", {}).get("lpa_s_per_step")
     # the hub variants carry hub_degree MORE edges; divide out the
     # volume delta so the ratios isolate the skew effect proper
-    vol = next(
-        (out[k]["n_edges"] for k in out if k != "uniform"),
-        out["uniform"]["n_edges"],
-    ) / out["uniform"]["n_edges"]
+    vol = (
+        next(
+            (out[k]["n_edges"] for k in out if k != "uniform"),
+            out["uniform"]["n_edges"],
+        ) / out["uniform"]["n_edges"]
+        if base
+        else 1.0
+    )
     ratios = {
         f"lpa_{k}_ratio": round(out[k]["lpa_s_per_step"] / base / vol, 3)
         for k in out
-        if k != "uniform"
+        if k != "uniform" and base
     }
     headline = (
         "lpa_hub_hot_ratio" if "hub_hot" in out

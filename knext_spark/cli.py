@@ -114,6 +114,8 @@ def cmd_graph(args):
 
     spark = _spark(args)
     edges = _edges_df(spark, args.edges)
+    # argparse leaves --salt-k a string; pagerank compares it numerically
+    salt_k = args.salt_k if args.salt_k == "auto" else int(args.salt_k)
     if args.verb == "pagerank":
         res = pagerank(
             spark,
@@ -124,14 +126,14 @@ def cmd_graph(args):
             checkpoint_dir=args.checkpoint_dir,
             run_id=args.run_id,
             resume=args.resume,
-            salt_k=args.salt_k,
+            salt_k=salt_k,
             cadence=args.cadence,
         )
     elif args.verb == "cc":
         res = connected_components(
             spark, edges, checkpoint_dir=args.checkpoint_dir,
             run_id=args.run_id, resume=args.resume, cadence=args.cadence,
-            salt_k=args.salt_k,
+            salt_k=salt_k,
         )
     elif args.verb == "lpa":
         hot = args.hot_threshold
@@ -139,7 +141,7 @@ def cmd_graph(args):
             spark, edges, max_iter=args.max_iter,
             checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
             resume=args.resume, cadence=args.cadence,
-            salt_k=args.salt_k,
+            salt_k=salt_k,
             hot_threshold=hot if hot in ("auto", "off") else int(hot),
         )
     else:  # triangles

@@ -32,8 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
 
 
-def _salted_min_join(big: DataFrame, salt_k: int) -> DataFrame:
-    """Join ``big(u, v, ...)`` with its own per-u min(v) aggregate,
+def _salted_min_join(
+    big: DataFrame, salt_k: int, mins: DataFrame | None = None
+) -> DataFrame:
+    """Join ``big(u, v, ...)`` with its per-u min(v) aggregate
+    (``mins`` if the caller already built it, else computed here),
     returning big's rows extended with ``mv``. The min aggregate is
     map-side combinable (a hub key reduces to one row per upstream
     partition), but the JOIN streams the hub's whole fan-out through
@@ -41,7 +44,8 @@ def _salted_min_join(big: DataFrame, salt_k: int) -> DataFrame:
     deterministic per-row salt, the tiny mins side replicates k-fold —
     so a hub's rows spread over k tasks (same design as pagerank's
     salt_k; measured on a 4M-degree hub in BENCH.md §5)."""
-    mins = big.groupBy("u").agg(F.min("v").alias("mv"))
+    if mins is None:
+        mins = big.groupBy("u").agg(F.min("v").alias("mv"))
     if salt_k <= 1:
         # mins is the small aggregated side and both sides are already
         # shuffled on u — hash it instead of sort-merging (which would
@@ -75,7 +79,7 @@ def _small_star(e: DataFrame, salt_k: int = 1) -> DataFrame:
     ).where(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        _salted_min_join(oriented, salt_k)
+        _salted_min_join(oriented, salt_k, mins)
         .select(F.col("v").alias("u"), F.col("mv").alias("v"))
         .unionByName(mins.select(F.col("u"), F.col("mv").alias("v")))
         .where(F.col("u") != F.col("v"))

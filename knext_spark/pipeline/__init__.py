@@ -37,6 +37,7 @@ from knext_spark.pipeline.dedup import (  # noqa: F401
 )
 from knext_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
+    hot_buckets,
     lsh_ann_topk,
     embedding_near_dups,
 )
