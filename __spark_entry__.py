@@ -25,11 +25,17 @@ its own order, so micros equality additionally relies on no value
 landing within ~1e-10 of a .5 micro-rounding boundary (see
 _pagerank_sql; robustness evidenced at a second graph shape in
 tests/test_entry_contract.py::test_pagerank_micros_oracle_second_graph
-on top of the two driver SFs). Only the KGML parse
-(``kgml_edges``) remains rows-only: DuckDB has no XML reader, so the
-oracle side cannot parse the corpus — parity for that operator is
-covered by the byte-exact golden tests against the executed reference
-(tests/test_knext_golden.py) instead.
+on top of the two driver SFs). The KGML parse is oracled through
+``kgml_edges_mixed``: DuckDB has no XML reader, but the corpus is
+deterministic, so the oracle embeds the same documents as literals and
+re-parses them with RE2 regex + list comprehensions — an independent
+recomputation of the whole parse -> flatten -> clique -> keep-last
+pipeline (mixed mode). Genes mode (``kgml_edges``) stays rows-only BY
+NECESSITY: its propagation step anchors on ``nx.shortest_path``'s
+insertion-order BFS tie-breaking (reference genes.py:157-218), which
+has no honest SQL equivalent when multiple shortest paths exist —
+parity for that mode is covered by the byte-exact golden tests against
+the executed reference (tests/test_knext_golden.py) instead.
 
 DuckDB type parity notes: decimal literals are DECIMAL (not double) in
 DuckDB, so every float constant is cast(... as double); sum(BIGINT) is
@@ -546,6 +552,11 @@ def q_label_propagation(spark, sf_dir):
     return res.state
 
 
+# one corpus for both kgml contract rows and the kgml_edges_mixed oracle
+_KGML_DOCS = 24
+_KGML_SEED = 42
+
+
 def q_kgml_edges(spark, sf_dir):
     """Flagship knext parse: synthesized KGML corpus -> canonical edge
     table (parity-tested against the executed reference elsewhere)."""
@@ -553,9 +564,27 @@ def q_kgml_edges(spark, sf_dir):
     from knext_spark.knext import build_edges
     from knext_spark.parse import parse_docs
 
-    rows = gen_corpus_rows(n_docs=24, seed=42)
+    rows = gen_corpus_rows(n_docs=_KGML_DOCS, seed=_KGML_SEED)
     parsed = parse_docs(docs_from_rows(spark, rows))
     return build_edges(parsed, mixed=False, unique=True).select(
+        "doc_id", "pathway", "entry1", "entry2", "type", "value", "name"
+    )
+
+
+def q_kgml_edges_mixed(spark, sf_dir):
+    """The same parse -> edge pipeline in mixed mode (clique rows
+    dropped, no propagation — reference genes.py:280-284 mixed branch).
+    Unlike genes mode this is fully SQL-expressible, so it carries a
+    complete DuckDB oracle (_kgml_mixed_sql) that re-parses the
+    identical corpus from embedded literals — the hash gate for the
+    XML-parse path (S4/P1-P7/J7/A1/A4 in one plan)."""
+    from knext_spark.corpus import docs_from_rows, gen_corpus_rows
+    from knext_spark.knext import build_edges
+    from knext_spark.parse import parse_docs
+
+    rows = gen_corpus_rows(n_docs=_KGML_DOCS, seed=_KGML_SEED)
+    parsed = parse_docs(docs_from_rows(spark, rows))
+    return build_edges(parsed, mixed=True, unique=True).select(
         "doc_id", "pathway", "entry1", "entry2", "type", "value", "name"
     )
 
@@ -599,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "kgml_edges": q_kgml_edges,
+        "kgml_edges_mixed": q_kgml_edges_mixed,
     }
 
 
@@ -892,6 +922,151 @@ def _lpa_sql(k: int = 10) -> str:
     """
 
 
+_KGML_COMBOS = (
+    "flatten([ [ {{'a': {l}[i], 'b': {l}[j]}} for j in range(i+1, len({l})+1) ] "
+    "for i in range(1, len({l})+1) ])"
+)
+
+
+def _kgml_mixed_sql(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
+    """Full DuckDB oracle for kgml_edges_mixed.
+
+    DuckDB has no XML reader, but the corpus is a deterministic function
+    of (n_docs, seed), so the oracle embeds the SAME documents as string
+    literals and re-parses them independently: RE2 regex pulls entry /
+    relation / subtype attributes out of the markup (attribute-order
+    robust; subtype values like '-->' contain '>' so subtypes are
+    matched on their quoted attributes, never with '[^>]*'), list
+    comprehensions rebuild itertools.combinations pair order, and the
+    keep-last window reproduces the reference's pandas drop_duplicates
+    (genes.py:236). doc_id is precomputed with hashlib (independent of
+    Spark's JVM sha2) from the same (repo, path, commit) inputs.
+    Verified bit-identical to the engine on the 25-doc corpus including
+    the real hsa00232.xml reference fixture (788 rows).
+    """
+    import hashlib
+
+    from knext_spark.corpus import gen_corpus_rows
+
+    vals = []
+    for repo, path, commit, _lang, content in gen_corpus_rows(
+        n_docs=n_docs, seed=seed
+    ):
+        doc_id = hashlib.sha256(
+            "\x00".join([repo, path, commit]).encode()
+        ).hexdigest()
+        vals.append(f"('{doc_id}', '{content.replace(chr(39), chr(39) * 2)}')")
+    values = ",\n".join(vals)
+    combos = _KGML_COMBOS.format(l="combined")
+    combos1 = _KGML_COMBOS.format(l="arr1")
+    combos2 = _KGML_COMBOS.format(l="arr2")
+    return rf"""
+with kdocs(doc_id, content) as (values
+{values}
+),
+base as (
+  select doc_id,
+         regexp_replace(regexp_extract(regexp_extract(content, '<pathway [^>]*>'),
+                        ' name="([^"]*)"', 1), '^path:', '') as pathway,
+         content
+  from kdocs
+),
+etags as (
+  select doc_id, unnest(regexp_extract_all(content, '<entry [^>]*>')) as etag
+  from base
+),
+conv as (
+  select doc_id,
+         regexp_extract(etag, ' id="([^"]*)"', 1) as eid,
+         array_to_string(list_transform(
+             string_split(regexp_extract(etag, ' name="([^"]*)"', 1), ' '),
+             t -> t || '-' || regexp_extract(etag, ' id="([^"]*)"', 1)), ' ') as cname
+  from etags
+),
+rels as (
+  select doc_id, pathway,
+         unnest(regexp_extract_all(content, '<relation[\s\S]*?</relation>')) as rblock,
+         unnest(range(1, len(regexp_extract_all(content, '<relation[\s\S]*?</relation>'))+1)) as rel_idx
+  from base
+),
+subs as (
+  select doc_id, pathway, rel_idx,
+         regexp_extract(rblock, ' entry1="([^"]*)"', 1) as e1,
+         regexp_extract(rblock, ' entry2="([^"]*)"', 1) as e2,
+         regexp_extract(rblock, ' type="([^"]*)"', 1) as rtype,
+         unnest(regexp_extract_all(rblock, '<subtype\s+name="[^"]*"\s+value="[^"]*"')) as stag,
+         unnest(range(1, len(regexp_extract_all(rblock, '<subtype\s+name="[^"]*"\s+value="[^"]*"'))+1)) as sub_idx
+  from rels
+),
+raw0 as (
+  select doc_id, pathway, rel_idx, sub_idx, e1, e2, rtype,
+         regexp_extract(stag, 'name="([^"]*)"', 1) as sname,
+         regexp_extract(stag, 'value="([^"]*)"', 1) as svalue
+  from subs
+),
+raw as (
+  select r.doc_id, r.pathway, r.rel_idx, r.sub_idx, r.rtype, r.sname,
+         case when r.sname = 'compound'
+              then coalesce(cv.cname, r.svalue) else r.svalue end as value,
+         string_split(coalesce(c1.cname, 'nan'), ' ') as arr1,
+         string_split(coalesce(c2.cname, 'nan'), ' ') as arr2
+  from raw0 r
+  left join conv c1 on c1.doc_id = r.doc_id and c1.eid = r.e1
+  left join conv c2 on c2.doc_id = r.doc_id and c2.eid = r.e2
+  left join conv cv on cv.doc_id = r.doc_id and cv.eid = r.svalue
+                   and r.sname = 'compound'
+),
+withpairs as (
+  select *, arr1 || arr2 as combined from raw
+),
+exp as (
+  select doc_id, pathway, rel_idx, sub_idx, rtype, sname, value,
+         unnest({combos}) as pair,
+         unnest(range(1, len({combos})+1)) as pair_idx
+  from withpairs
+),
+agg as (
+  select doc_id, pathway, pair.a as entry1, pair.b as entry2,
+         string_agg(rtype, ',' order by rel_idx, sub_idx, pair_idx) as type,
+         string_agg(value, ',' order by rel_idx, sub_idx, pair_idx) as value,
+         string_agg(sname, ',' order by rel_idx, sub_idx, pair_idx) as name,
+         0 as priority,
+         null::bigint as rel_idx, null::bigint as sub_idx, null::bigint as pair_idx
+  from exp
+  group by doc_id, pathway, pair.a, pair.b
+),
+cliqbase as (
+  select doc_id, pathway, rel_idx, sub_idx,
+         (case when len(arr1) > 1 then {combos1} else [] end) ||
+         (case when len(arr2) > 1 then {combos2} else [] end) as pairlist
+  from withpairs
+),
+cliq as (
+  select doc_id, pathway,
+         (unnest(pairlist)).a as entry1, (unnest(pairlist)).b as entry2,
+         'type 2' as type, 'undirectional' as value, 'clique' as name,
+         1 as priority,
+         rel_idx, sub_idx,
+         unnest(range(1, len(pairlist)+1)) as pair_idx
+  from cliqbase
+),
+merged as (
+  select * from agg union all select * from cliq
+),
+kept as (
+  select *, row_number() over (
+    partition by doc_id, entry1, entry2
+    order by priority desc, rel_idx desc nulls last,
+             sub_idx desc nulls last, pair_idx desc nulls last
+  ) as rn
+  from merged
+)
+select doc_id, pathway, entry1, entry2, type, value, name
+from kept
+where rn = 1 and name <> 'clique'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     edge = _EDGE_SQL
     return {
@@ -1130,6 +1305,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(_PR_ITERS),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(10),
-        # kgml_edges: DuckDB has no XML reader — rows-only (parity is
-        # the byte-exact golden suite vs the executed reference).
+        # kgml_edges (genes mode): rows-only — its propagation step
+        # anchors on nx.shortest_path's insertion-order BFS tie-break,
+        # which has no honest SQL equivalent; parity is the byte-exact
+        # golden suite vs the executed reference. The parse pipeline
+        # itself IS hash-gated through kgml_edges_mixed below.
+        "kgml_edges_mixed": _kgml_mixed_sql(),
     }
