@@ -25,17 +25,20 @@ its own order, so micros equality additionally relies on no value
 landing within ~1e-10 of a .5 micro-rounding boundary (see
 _pagerank_sql; robustness evidenced at a second graph shape in
 tests/test_entry_contract.py::test_pagerank_micros_oracle_second_graph
-on top of the two driver SFs). The KGML parse is oracled through
-``kgml_edges_mixed``: DuckDB has no XML reader, but the corpus is
-deterministic, so the oracle embeds the same documents as literals and
-re-parses them with RE2 regex + list comprehensions — an independent
-recomputation of the whole parse -> flatten -> clique -> keep-last
-pipeline (mixed mode). Genes mode (``kgml_edges``) stays rows-only BY
-NECESSITY: its propagation step anchors on ``nx.shortest_path``'s
+on top of the two driver SFs). The KGML pipeline is oracled through
+``kgml_edges_mixed`` and ``kgml_edges_contract``: DuckDB has no XML
+reader, but the corpus is deterministic, so the oracles embed the same
+documents as literals and re-parse them with RE2 regex + list
+comprehensions — an independent recomputation of the whole parse ->
+flatten -> clique -> keep-last pipeline (mixed mode), extended by a
+recursive-CTE reachability fixpoint that gates genes mode end-to-end
+with the scale-path propagation variant (contract). Only
+``kgml_edges`` (genes mode, propagate='faithful') stays rows-only BY
+NECESSITY: the faithful propagation anchors on ``nx.shortest_path``'s
 insertion-order BFS tie-breaking (reference genes.py:157-218), which
 has no honest SQL equivalent when multiple shortest paths exist —
-parity for that mode is covered by the byte-exact golden tests against
-the executed reference (tests/test_knext_golden.py) instead.
+parity for that variant is covered by the byte-exact golden tests
+against the executed reference (tests/test_knext_golden.py) instead.
 
 DuckDB type parity notes: decimal literals are DECIMAL (not double) in
 DuckDB, so every float constant is cast(... as double); sum(BIGINT) is
@@ -589,6 +592,24 @@ def q_kgml_edges_mixed(spark, sf_dir):
     )
 
 
+def q_kgml_edges_contract(spark, sf_dir):
+    """Genes mode end-to-end with the scale-path propagation variant
+    (propagate_contract — pure-DataFrame fixpoint contraction, no
+    per-doc grouping assumption; knext_spark/knext/propagate.py:143).
+    Carries a complete DuckDB oracle whose recursive CTE computes the
+    true reachability fixpoint, hash-gating the has_cpd gate, path
+    purge, propagation closure, and conditional clique drop."""
+    from knext_spark.corpus import docs_from_rows, gen_corpus_rows
+    from knext_spark.knext import build_edges
+    from knext_spark.parse import parse_docs
+
+    rows = gen_corpus_rows(n_docs=_KGML_DOCS, seed=_KGML_SEED)
+    parsed = parse_docs(docs_from_rows(spark, rows))
+    return build_edges(
+        parsed, mixed=False, unique=True, propagate="contract"
+    ).select("doc_id", "pathway", "entry1", "entry2", "type", "value", "name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_collect_join": q_agg_collect_join,
@@ -629,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "kgml_edges": q_kgml_edges,
         "kgml_edges_mixed": q_kgml_edges_mixed,
+        "kgml_edges_contract": q_kgml_edges_contract,
     }
 
 
@@ -928,8 +950,10 @@ _KGML_COMBOS = (
 )
 
 
-def _kgml_mixed_sql(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
-    """Full DuckDB oracle for kgml_edges_mixed.
+def _kgml_kept_cte(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
+    """Shared CTE chain for the KGML oracles: embedded corpus ->
+    regex parse -> flatten -> pair expansion -> aggregation -> keep-last
+    (`kept`, rn = 1 selects the surviving row per (doc, entry1, entry2)).
 
     DuckDB has no XML reader, but the corpus is a deterministic function
     of (n_docs, seed), so the oracle embeds the SAME documents as string
@@ -941,8 +965,6 @@ def _kgml_mixed_sql(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
     keep-last window reproduces the reference's pandas drop_duplicates
     (genes.py:236). doc_id is precomputed with hashlib (independent of
     Spark's JVM sha2) from the same (repo, path, commit) inputs.
-    Verified bit-identical to the engine on the 25-doc corpus including
-    the real hsa00232.xml reference fixture (788 rows).
     """
     import hashlib
 
@@ -1060,10 +1082,107 @@ kept as (
              sub_idx desc nulls last, pair_idx desc nulls last
   ) as rn
   from merged
-)
+)"""
+
+
+def _kgml_mixed_sql(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
+    """Full DuckDB oracle for kgml_edges_mixed (reference genes.py:280-284
+    mixed branch: keep-last output minus clique rows, no propagation).
+    Verified bit-identical to the engine on the 25-doc corpus including
+    the real hsa00232.xml reference fixture (788 rows)."""
+    return f"""{_kgml_kept_cte(n_docs, seed)}
 select doc_id, pathway, entry1, entry2, type, value, name
 from kept
 where rn = 1 and name <> 'clique'
+"""
+
+
+def _kgml_contract_sql(n_docs: int = _KGML_DOCS, seed: int = _KGML_SEED) -> str:
+    """Full DuckDB oracle for kgml_edges_contract — genes mode with the
+    engine's SCALE-PATH propagation variant (propagate_contract:
+    CPp(g1,g2) iff a path g1 -> n+ -> g2 exists with every intermediate
+    node non-gene; knext_spark/knext/propagate.py:143). The closure is a
+    recursive CTE (UNION dedup = the engine's left_anti + distinct
+    frontier), so the oracle is the TRUE fixpoint — if the engine ever
+    truncated at max_iters the gate would catch it. Also reproduces the
+    genes-mode has_cpd gate computed BEFORE the path filter
+    (reference genes.py:280-293 quirk), the path-endpoint purge, the
+    set-union of CPp rows with existing rows, the non-gene endpoint
+    purge, and the clique drop applied only to propagated (has_cpd)
+    documents. Verified bit-identical to the engine on the 25-doc
+    corpus including the real hsa00232.xml fixture (668 rows)."""
+    return f"""{_kgml_kept_cte(n_docs, seed)},
+base7 as (
+  select doc_id, pathway, entry1, entry2, type, value, name
+  from kept where rn = 1
+),
+flagged as (
+  select *,
+         max(case when entry1 like 'cpd:%' or entry2 like 'cpd:%'
+                    or entry1 like 'undefined%' or entry2 like 'undefined%'
+                  then 1 else 0 end)
+           over (partition by doc_id) = 1 as has_cpd
+  from base7
+),
+pathfiltered as (
+  select * from flagged
+  where entry1 not like 'path%' and entry2 not like 'path%'
+),
+wo as (
+  select doc_id, pathway, entry1, entry2, type, value, name
+  from pathfiltered where not has_cpd
+),
+wc as (
+  select doc_id, pathway, entry1, entry2, type, value, name
+  from pathfiltered where has_cpd
+),
+g2n as (
+  select distinct doc_id, entry1 as gene, entry2 as node from wc
+  where not (entry1 like 'cpd%' or entry1 like 'undefined%' or entry1 like 'path%')
+    and (entry2 like 'cpd%' or entry2 like 'undefined%' or entry2 like 'path%')
+),
+n2n as (
+  select distinct doc_id, entry1 as jfrom, entry2 as jto from wc
+  where (entry1 like 'cpd%' or entry1 like 'undefined%' or entry1 like 'path%')
+    and (entry2 like 'cpd%' or entry2 like 'undefined%' or entry2 like 'path%')
+),
+n2g as (
+  select distinct doc_id, entry1 as jfrom, entry2 as jgene from wc
+  where (entry1 like 'cpd%' or entry1 like 'undefined%' or entry1 like 'path%')
+    and not (entry2 like 'cpd%' or entry2 like 'undefined%' or entry2 like 'path%')
+),
+reach as (
+  with recursive r(doc_id, gene, node) as (
+    select doc_id, gene, node from g2n
+    union
+    select r.doc_id, r.gene, n2n.jto
+    from r join n2n on n2n.doc_id = r.doc_id and n2n.jfrom = r.node
+  )
+  select * from r
+),
+docpath as (
+  select doc_id, min(pathway) as pathway from wc group by doc_id
+),
+cpp as (
+  select distinct reach.doc_id, docpath.pathway,
+         reach.gene as entry1, n2g.jgene as entry2,
+         'CPp' as type, 'Custom' as value, 'compound propagation' as name
+  from reach
+  join n2g on n2g.doc_id = reach.doc_id and n2g.jfrom = reach.node
+  join docpath on docpath.doc_id = reach.doc_id
+),
+wc_out as (
+  select * from wc union select * from cpp
+),
+wc_kept as (
+  select * from wc_out
+  where not (entry1 like 'cpd%' or entry1 like 'undefined%' or entry1 like 'path%')
+    and not (entry2 like 'cpd%' or entry2 like 'undefined%' or entry2 like 'path%')
+    and name <> 'clique'
+)
+select doc_id, pathway, entry1, entry2, type, value, name from wc_kept
+union all
+select doc_id, pathway, entry1, entry2, type, value, name from wo
 """
 
 
@@ -1305,10 +1424,13 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(_PR_ITERS),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(10),
-        # kgml_edges (genes mode): rows-only — its propagation step
-        # anchors on nx.shortest_path's insertion-order BFS tie-break,
-        # which has no honest SQL equivalent; parity is the byte-exact
-        # golden suite vs the executed reference. The parse pipeline
-        # itself IS hash-gated through kgml_edges_mixed below.
+        # kgml_edges (genes mode, propagate='faithful'): rows-only —
+        # the faithful propagation anchors on nx.shortest_path's
+        # insertion-order BFS tie-break, which has no honest SQL
+        # equivalent; parity is the byte-exact golden suite vs the
+        # executed reference. The parse pipeline is hash-gated through
+        # kgml_edges_mixed, and genes mode end-to-end through
+        # kgml_edges_contract (scale-path propagation variant).
         "kgml_edges_mixed": _kgml_mixed_sql(),
+        "kgml_edges_contract": _kgml_contract_sql(),
     }
