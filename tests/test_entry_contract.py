@@ -108,6 +108,40 @@ def test_pagerank_micros_oracle_second_graph(spark, ddb, tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize("n_docs,seed", [(13, 9), (31, 7)])
+def test_kgml_oracles_second_corpus(spark, ddb, n_docs, seed):
+    """Robustness of the regex-based KGML oracles beyond the driver's
+    fixed (24, 42) corpus: different doc counts, different rng draws
+    (relation shapes, subtype values, group sizes), plus the embedded
+    hsa00232.xml fixture, at two extra (n_docs, seed) points. Guards
+    the generator↔oracle coupling: a generator change that the RE2
+    parse can't follow fails here, not silently at the driver gate."""
+    from knext_spark.corpus import docs_from_rows, gen_corpus_rows
+    from knext_spark.knext import build_edges
+    from knext_spark.parse import parse_docs
+
+    rows = gen_corpus_rows(n_docs=n_docs, seed=seed)
+    parsed = parse_docs(docs_from_rows(spark, rows)).cache()
+    sel = ["doc_id", "pathway", "entry1", "entry2", "type", "value", "name"]
+    for build, sql in [
+        (
+            lambda: build_edges(parsed, mixed=True, unique=True),
+            entrymod._kgml_mixed_sql(n_docs=n_docs, seed=seed),
+        ),
+        (
+            lambda: build_edges(
+                parsed, mixed=False, unique=True, propagate="contract"
+            ),
+            entrymod._kgml_contract_sql(n_docs=n_docs, seed=seed),
+        ),
+    ]:
+        got, got_cols = _spark_rows(build().select(*sel))
+        want, want_cols = _duck_rows(ddb, sql)
+        assert got_cols == want_cols
+        assert len(got) == len(want)
+        assert got == want
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -1,0 +1,184 @@
+"""Property-based spot checks (SURVEY.md §5 item 6).
+
+Hypothesis generates random small digraphs mixing gene and non-gene
+(cpd:* / undefined* / path:*) nodes, and the tests assert the
+propagation invariants the reference's semantics imply
+(/root/reference/src/knext/genes.py:157-218) without fixing any
+particular graph shape:
+
+- genes-mode propagation never lets a non-gene endpoint survive;
+- every gene-gene input edge survives (dedup only collapses identical
+  5-col rows);
+- every generated CPp bridge is justified: the pair is connected in the
+  input digraph by a path whose intermediate nodes are ALL non-gene
+  (this also proves faithful-CPp ⊆ contract-closure — the documented
+  relationship between the two propagation variants);
+- PageRank on random graphs sums to 1 and matches networkx
+  allclose(1e-6);
+- the Catalyst `_combinations` higher-order expression reproduces
+  itertools.combinations order exactly.
+
+The pandas-level tests run hypothesis at full example counts (no Spark
+in the loop); Spark-backed properties cap max_examples to keep the
+suite fast.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from knext_spark.knext.propagate import _is_gene, _propagate_pdf
+
+GENES = ["tsa:6247-1", "tsa:6255-2", "hsa:10", "g4", "g5", "eno"]
+NONGENES = [
+    "cpd:C00385-29",
+    "cpd:C13747-30",
+    "undefined-16",
+    "undefined-9",
+    "path:tsa00100-17",
+]
+NODES = GENES + NONGENES
+
+edges_st = st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _pdf(edges: list[tuple[str, str]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": "d0",
+            "pathway": "tsa00100",
+            "entry1": [a for a, _ in edges],
+            "entry2": [b for _, b in edges],
+            "type": "PPrel",
+            "value": "-->",
+            "name": "activation",
+            "out_seq": range(1, len(edges) + 1),
+        }
+    )
+
+
+def _closure_pairs(edges: list[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Contract semantics, independently in pure Python: (g, h) iff a
+    path g -> n+ -> h exists with every intermediate node non-gene."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    pairs = set()
+    for g in nodes:
+        if not _is_gene(g):
+            continue
+        stack = [n for n in adj.get(g, ()) if not _is_gene(n)]
+        seen: set[str] = set()
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            for m in adj.get(n, ()):
+                if _is_gene(m):
+                    pairs.add((g, m))
+                else:
+                    stack.append(m)
+    return pairs
+
+
+@given(edges_st)
+@settings(max_examples=150, deadline=None)
+def test_propagate_faithful_invariants(edges):
+    out = _propagate_pdf(_pdf(edges))
+    # 1. no non-gene endpoint survives genes mode
+    assert out["entry1"].map(_is_gene).all()
+    assert out["entry2"].map(_is_gene).all()
+    # 2. every gene-gene input edge survives (as a (entry1, entry2) pair)
+    kept_pairs = set(zip(out["entry1"], out["entry2"]))
+    for a, b in edges:
+        if _is_gene(a) and _is_gene(b):
+            assert (a, b) in kept_pairs
+    # 3. every CPp bridge is justified by a non-gene-chain path, i.e.
+    #    faithful-CPp ⊆ contract-closure
+    closure = _closure_pairs(edges)
+    cpp = out[out["type"] == "CPp"]
+    for a, b in zip(cpp["entry1"], cpp["entry2"]):
+        assert (a, b) in closure, (a, b)
+
+
+@given(edges_st)
+@settings(max_examples=150, deadline=None)
+def test_propagate_faithful_deterministic(edges):
+    a = _propagate_pdf(_pdf(edges))
+    b = _propagate_pdf(_pdf(edges))
+    pd.testing.assert_frame_equal(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_random_graphs_match_networkx(spark, edges):
+    import tempfile
+
+    import networkx as nx
+    # scipy is absent in this sandbox; _pagerank_python is NetworkX's
+    # own pure-python power iteration (same convention as
+    # tests/test_graph_algos.py)
+    from networkx.algorithms.link_analysis.pagerank_alg import (
+        _pagerank_python,
+    )
+
+    from knext_spark.graph import pagerank
+
+    # nx.DiGraph collapses parallel edges -> dedupe for parity
+    dedup = list(
+        dict.fromkeys((f"n{a}", f"n{b}") for a, b in edges if a != b)
+    )
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in dedup],
+        "src string, dst string, weight double",
+    )
+    res = pagerank(
+        spark,
+        df,
+        checkpoint_dir=tempfile.mkdtemp(prefix="prprop_"),
+        cadence=25,
+    )
+    got = {r["node"]: r["rank"] for r in res.state.collect()}
+    assert res.converged
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+    g = nx.DiGraph()
+    g.add_edges_from(dedup)
+    want = _pagerank_python(g, alpha=0.85, tol=1e-6, max_iter=100)
+    assert set(got) == set(want)
+    for n, r in want.items():
+        assert abs(got[n] - r) <= 1e-6, (n, got[n], r)
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=7))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_combinations_order_matches_itertools(spark, tokens):
+    from pyspark.sql import functions as F
+
+    from knext_spark.knext.edges import _combinations
+
+    arr = F.array(*[F.lit(t) for t in tokens]) if tokens else F.array().cast(
+        "array<string>"
+    )
+    [row] = spark.range(1).select(_combinations(arr).alias("c")).collect()
+    got = [(p["a"], p["b"]) for p in row["c"]]
+    assert got == list(itertools.combinations(tokens, 2))
