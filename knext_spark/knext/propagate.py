@@ -24,10 +24,16 @@ Two engine implementations:
    genes. O(longest non-gene chain) supersteps; each superstep joins
    the frontier against the (small) non-gene→non-gene edge subset.
    Semantics: CPp(g1,g2) iff a path g1 → n+ → g2 exists with all
-   intermediate nodes non-gene. On all test fixtures this matches the
-   reference's edge set (the reference's root/leaf shortest-path probing
-   is a heuristic subset that coincides on real pathway shapes); the
-   faithful variant remains the parity gate.
+   intermediate nodes non-gene. The reference's root/leaf shortest-path
+   probing is a heuristic SUBSET of this closure (proved on random
+   graphs in tests/test_property.py): the two coincide on the 12-doc
+   fixture corpus and on real pathway shapes like hsa00232, while on
+   the 24-doc driver corpus the closure finds 8 extra CPp bridges the
+   heuristic misses (668 vs 660 rows — pinned in
+   tests/test_knext_golden.py::test_contract_propagation_vs_faithful).
+   The faithful variant remains the reference-parity gate; the contract
+   variant is the scale path and is itself hash-gated end-to-end by the
+   driver row ``kgml_edges_contract`` (recursive-CTE DuckDB oracle).
 """
 
 from __future__ import annotations

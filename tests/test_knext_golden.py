@@ -122,6 +122,27 @@ def test_shipped_golden_tsv_legacy_value(parsed_docs):
             assert all(part.startswith("cpd:") for part in e.split(",")), (g, e)
 
 
+def test_contract_propagation_vs_faithful(spark, parsed_docs):
+    """Cross-check of the two propagation variants (propagate.py module
+    docstring): the scale-path closure (contract) must produce a
+    SUPERSET of the reference-faithful shortest-path heuristic, any
+    surplus rows must be CPp bridges, and on this 12-doc fixture corpus
+    (which includes the real hsa00232.xml) the two coincide exactly."""
+    sel = ["doc_id", "pathway", "entry1", "entry2", "type", "value", "name"]
+    faithful = set(
+        map(tuple, build_edges(parsed_docs, mixed=False, unique=True)
+            .select(*sel).collect())
+    )
+    contract = set(
+        map(tuple, build_edges(
+            parsed_docs, mixed=False, unique=True, propagate="contract"
+        ).select(*sel).collect())
+    )
+    assert faithful <= contract
+    assert all(r[4] == "CPp" for r in contract - faithful)
+    assert faithful == contract  # holds on this corpus (12 docs + fixture)
+
+
 def test_quarantine_matches_reference_error(parsed_docs, xml_dir, tmp_path):
     """Docs the engine quarantines are exactly those where the
     reference raises FileNotFound (genes.py:68-71)."""
