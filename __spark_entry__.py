@@ -387,6 +387,26 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (the data-adaptive scale path, complementing LSH):
+    deterministic seed centroids -> inverted-list assignment -> nprobe
+    probing -> exact in-list re-rank. Fully oracled: the centroid
+    order-statistics sample, assignment argmax, and probe set are all
+    reproduced in DuckDB SQL."""
+    from knext_spark.pipeline import ivf_ann_topk
+
+    out = ivf_ann_topk(
+        _read(spark, sf_dir, "embeddings"), k=3, n_centroids=16, nprobe=2
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _micros(F.col("cosine")).alias("cosine_micros"),
+        F.col("cid").cast("long").alias("cid"),
+    )
+
+
 def q_lsh_ann_buckets(spark, sf_dir):
     from knext_spark.pipeline.similarity import lsh_bucket
 
@@ -638,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "cosine_topk": q_cosine_topk,
+        "ann_ivf": q_ann_ivf,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_multiprobe_ranked": q_ann_multiprobe_ranked,
@@ -1322,6 +1343,36 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by qid order by cosine desc, nid asc) as rank,
                      cast(floor(cosine * 1000000 + 0.5) as bigint) as cosine_micros
               from p
+            ) where rank <= 3
+        """,
+        "ann_ivf": f"""
+            with picked as (
+              select md5(cast(vec_id as varchar)) as h, vec_id as ck, embedding as cv
+              from embeddings order by h, ck limit 16
+            ),
+            cents as (select row_number() over (order by h, ck) as cid, cv from picked),
+            sims as (
+              select e.vec_id as id, e.embedding as v, c.cid,
+                     {_COS.format(a="e.embedding", b="c.cv")} as sim
+              from embeddings e cross join cents c
+            ),
+            ranked as (
+              select id, v, cid,
+                     row_number() over (partition by id order by sim desc, cid asc) as rn
+              from sims
+            ),
+            cand as (select id as nid, v as nv, cid from ranked where rn = 1),
+            probe as (select id as qid, v as qv, cid from ranked where rn <= 2),
+            pairs as (
+              select qid, nid, cid, {_COS.format(a="qv", b="nv")} as cosine
+              from probe join cand using (cid) where qid <> nid
+            )
+            select vec_id, neighbor_id, rank, cosine_micros, cid from (
+              select qid as vec_id, nid as neighbor_id,
+                     row_number() over (partition by qid order by cosine desc, nid asc) as rank,
+                     cast(floor(cosine * 1000000 + 0.5) as bigint) as cosine_micros,
+                     cast(cid as bigint) as cid
+              from pairs
             ) where rank <= 3
         """,
         "lsh_ann_buckets": f"""

@@ -3,7 +3,7 @@
 Beyond the reference's own capabilities, the engine ships the
 operations a 100 TB training-data pipeline needs (task mandate):
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine), similarity search (brute-force cosine top-k +
+embedding-cosine), similarity search (brute-force cosine top-k, IVF-flat +
 LSH-bucketed ANN), text analysis (language-ID, quality scoring, token
 counting, fingerprinting), and multimodal binary-column plumbing.
 
@@ -38,6 +38,8 @@ from knext_spark.pipeline.dedup import (  # noqa: F401
 from knext_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     hot_buckets,
+    ivf_ann_topk,
+    ivf_centroids,
     lsh_ann_topk,
     embedding_near_dups,
 )

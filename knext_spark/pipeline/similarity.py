@@ -20,6 +20,17 @@
   design (bucket join instead of n^2).
 - ``embedding_near_dups``: cosine >= threshold pairs via the same LSH
   bucketing (near-dup dedup on embeddings).
+- ``ivf_ann_topk``: the OTHER standard ANN scale path — IVF-flat.
+  A small set of centroids partitions the corpus into inverted lists
+  (each vector assigned to its nearest centroid); a query probes its
+  ``nprobe`` nearest lists and exact cosine re-ranks inside them.
+  Centroids here are deterministic seed samples (the ``n_centroids``
+  vectors with the smallest md5(key) — an order-statistics sample the
+  DuckDB oracle reproduces exactly); k-means refinement of the
+  centroids is an offline fitting concern that changes recall, not the
+  query plan, so the engine keeps the query path pure and
+  deterministic. Complements LSH: IVF adapts to the data distribution
+  (lists mirror density), LSH is data-independent.
 
 Scale governors (the in-bucket re-rank is O(bucket^2)):
 
@@ -182,7 +193,97 @@ def ranked_probe_buckets(
     return F.array_distinct(F.concat(F.array(bucket), flipped))
 
 
-def _prune_hot_buckets(b: DataFrame, max_bucket: int | None) -> DataFrame:
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(cid, cv): deterministic seed centroids — the ``n_centroids``
+    vectors with the smallest md5(key), ids assigned in that order.
+    Selection is a distributed TakeOrdered (orderBy + limit pushes a
+    per-partition top-K, never a full sort); the row_number window
+    then runs over only the K surviving rows, so its single-partition
+    plan is K-bounded, not corpus-bounded."""
+    picked = (
+        emb.select(
+            F.md5(F.col(key).cast("string").cast("binary")).alias("h"),
+            F.col(key).alias("ck"),
+            F.col(vec).alias("cv"),
+        )
+        .orderBy("h", "ck")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("h", "ck")
+    return picked.select(F.row_number().over(w).alias("cid"), "cv")
+
+
+def _ivf_sims(emb: DataFrame, centroids: DataFrame, key: str, vec: str) -> DataFrame:
+    """(id, v, cid, rn): every vector scored against every centroid
+    (broadcast — K is small), ranked by cosine desc with cid as the
+    deterministic tie-break. rn = 1 is the vector's inverted list;
+    rn <= nprobe is its probe set."""
+    scored = (
+        emb.select(F.col(key).alias("id"), F.col(vec).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return scored.select("id", "v", "cid", F.row_number().over(w).alias("rn"))
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    max_list: int | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k -> (vec_id, neighbor_id, rank,
+    cosine, cid). Candidates live in exactly ONE inverted list (their
+    nearest centroid), so a (query, neighbor) pair is generated at
+    most once even with nprobe > 1 — no post-join dedup needed (unlike
+    multiprobe LSH). Recall grows with nprobe at linear candidate
+    cost. ``max_list`` lazily prunes degenerate inverted lists from
+    the candidate side exactly like lsh_ann_topk's ``max_bucket``
+    (queries still probe other lists); list sizes mirror data density,
+    so at 100 TB pair the cap with more centroids rather than relying
+    on it."""
+    cents = ivf_centroids(emb, n_centroids, key, vec)
+    sims = _ivf_sims(emb, cents, key, vec)
+    cand = (
+        sims.where(F.col("rn") == 1)
+        .select(F.col("id").alias("nid"), F.col("v").alias("nv"), "cid")
+    )
+    cand = _prune_hot_buckets(cand, max_list, col="cid")
+    q = sims.where(F.col("rn") <= nprobe).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "cid"
+    )
+    pairs = q.join(cand, "cid").where(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid", "nid", "cid", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(key),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+            "cid",
+        )
+    )
+
+
+def _prune_hot_buckets(
+    b: DataFrame, max_bucket: int | None, col: str = "bucket"
+) -> DataFrame:
     """Drop rows whose bucket holds > max_bucket vectors. LAZY by
     design: the over-cap bucket set is a left-anti join against a
     bucket-size aggregate planned inside the consuming query — no
@@ -194,12 +295,12 @@ def _prune_hot_buckets(b: DataFrame, max_bucket: int | None) -> DataFrame:
     if max_bucket is None:
         return b
     hot = (
-        b.groupBy("bucket")
+        b.groupBy(col)
         .agg(F.count("*").alias("__bsz"))
         .where(F.col("__bsz") > max_bucket)
-        .select("bucket")
+        .select(col)
     )
-    return b.join(F.broadcast(hot), "bucket", "left_anti")
+    return b.join(F.broadcast(hot), col, "left_anti")
 
 
 def hot_buckets(

@@ -86,6 +86,63 @@ def test_multiprobe_improves_recall(spark):
     assert r3 > 0.5  # and lands in a useful range on this table
 
 
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe = n_centroids means every query scans every inverted
+    list, so IVF-flat must reproduce brute-force cosine_topk EXACTLY
+    (same neighbors, same ranks, same cosines) — the recall knob's
+    upper end is the exactness oracle."""
+    from knext_spark.pipeline import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk(emb, k=3, n_centroids=8, nprobe=8).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_recall_grows_with_nprobe(spark):
+    from knext_spark.pipeline import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3).collect()
+    r1 = _recall(ivf_ann_topk(emb, k=3, n_centroids=16, nprobe=1).collect(), exact)
+    r2 = _recall(ivf_ann_topk(emb, k=3, n_centroids=16, nprobe=2).collect(), exact)
+    r4 = _recall(ivf_ann_topk(emb, k=3, n_centroids=16, nprobe=4).collect(), exact)
+    assert r2 >= r1 and r4 >= r2  # monotone in nprobe
+    assert r4 > r1  # and strictly useful on this table
+
+
+def test_ivf_max_list_prunes_only_hot_lists(spark):
+    """A tiny max_list cap must bound candidate-list size without
+    touching queries whose neighbors live in small lists; pruned-list
+    members still appear as QUERIES (never as candidates)."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.pipeline import ivf_ann_topk
+    from knext_spark.pipeline.similarity import _ivf_sims, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(emb, 4)
+    sizes = (
+        _ivf_sims(emb, cents, "vec_id", "embedding")
+        .where(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    cap = sorted(r["n"] for r in sizes)[0]  # prune all but the smallest
+    out = ivf_ann_topk(emb, k=3, n_centroids=4, nprobe=4, max_list=cap)
+    kept_cids = {r["cid"] for r in out.select("cid").distinct().collect()}
+    hot = {r["cid"] for r in sizes if r["n"] > cap}
+    assert kept_cids.isdisjoint(hot)
+    assert out.count() > 0  # small lists still serve results
+
+
 def test_multiprobe_zero_is_plain_lsh(spark):
     """probes=0 must be EXACTLY the plain same-bucket LSH top-k — the
     expected side is built independently here from lsh_bucket + a
