@@ -193,6 +193,19 @@ def ranked_probe_buckets(
     return F.array_distinct(F.concat(F.array(bucket), flipped))
 
 
+def auto_centroids(
+    n: int, target_list: int = 1024, lo: int = 4, hi: int = 1 << 16
+) -> int:
+    """K such that the expected inverted list n / K ≈ target_list.
+    The cid join's parallelism AND the O(list^2 / K) re-rank cost are
+    both K-bounded, so K must grow with the corpus exactly like
+    auto_planes grows P — a fixed small K at 100 TB means 16-way
+    parallelism and linear list growth."""
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(n / target_list)))
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -237,11 +250,12 @@ def _ivf_sims(emb: DataFrame, centroids: DataFrame, key: str, vec: str) -> DataF
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     nprobe: int = 2,
     key: str = "vec_id",
     vec: str = "embedding",
     max_list: int | None = None,
+    target_list: int = 1024,
 ) -> DataFrame:
     """IVF-flat approximate top-k -> (vec_id, neighbor_id, rank,
     cosine, cid). Candidates live in exactly ONE inverted list (their
@@ -252,7 +266,12 @@ def ivf_ann_topk(
     the candidate side exactly like lsh_ann_topk's ``max_bucket``
     (queries still probe other lists); list sizes mirror data density,
     so at 100 TB pair the cap with more centroids rather than relying
-    on it."""
+    on it. ``n_centroids="auto"`` sizes K ≈ n / target_list (one
+    count() of the input) — essential at scale, since both the cid
+    join's parallelism and the expected list size are K-bounded."""
+    if n_centroids == "auto":
+        n_centroids = auto_centroids(emb.count(), target_list)
+    n_centroids = int(n_centroids)
     cents = ivf_centroids(emb, n_centroids, key, vec)
     sims = _ivf_sims(emb, cents, key, vec)
     cand = (
