@@ -612,6 +612,16 @@ def q_kgml_edges_mixed(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (batch operator;
+    its applyInPandasWithState streaming twin is gated stream==batch in
+    tests/test_streaming.py). Integer epoch-micros semantics make every
+    output column exact cross-engine."""
+    from knext_spark.streaming import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_kgml_edges_contract(spark, sf_dir):
     """Genes mode end-to-end with the scale-path propagation variant
     (propagate_contract — pure-DataFrame fixpoint contraction, no
@@ -672,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgml_edges": q_kgml_edges,
         "kgml_edges_mixed": q_kgml_edges_mixed,
         "kgml_edges_contract": q_kgml_edges_contract,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1484,4 +1495,25 @@ def oracle_sql() -> dict[str, str]:
         # kgml_edges_contract (scale-path propagation variant).
         "kgml_edges_mixed": _kgml_mixed_sql(),
         "kgml_edges_contract": _kgml_contract_sql(),
+        "sessionize": """
+            with e as (select user_id, epoch_us(ts) as us from events),
+            d as (
+              select user_id, us,
+                     case when lag(us) over (partition by user_id order by us) is null
+                            or us - lag(us) over (partition by user_id order by us) > 1800000000
+                          then 1 else 0 end as new_s
+              from e
+            ),
+            s as (
+              select user_id, us,
+                     sum(new_s) over (partition by user_id order by us
+                                      rows unbounded preceding) as session_id
+              from d
+            )
+            select user_id, cast(session_id as bigint) as session_id,
+                   min(us) as session_start_us,
+                   cast(count(*) as bigint) as n_events,
+                   max(us) - min(us) as duration_us
+            from s group by user_id, session_id
+        """,
     }

@@ -78,3 +78,68 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got, "stream emitted no closed windows"
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    by the streaming operator (flushed by far-future sentinel events in
+    a SECOND availableNow run against the same checkpoint — which also
+    exercises state recovery across query restarts) must equal the
+    batch windows-based sessionize on the same events."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.streaming import sessionize, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "events_src"
+    # one time-sorted file: the operator's numbering contract assumes
+    # per-user event-time progress ACROSS micro-batches (availableNow
+    # batches by file), which random multi-file partitioning violates
+    events.orderBy("ts").coalesce(1).write.parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # sentinel flush: one far-future event per user closes every open
+    # tail session when the restarted query folds it into state
+    sent = events.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("interval 365 days")).alias("ts")
+    ).select(
+        F.lit(10**9).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sent.select([c for c in events.columns]).write.mode("append").parquet(str(src))
+    run_once()
+
+    # key on (user, session_start): stable across the operator's
+    # documented sid-restart-after-timeout-flush caveat; drop the
+    # sentinel-started sessions themselves (they start after every
+    # real event)
+    cutoff = events.agg(
+        F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["duration_us"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        if r["session_start_us"] <= cutoff
+    }
+    batch = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["duration_us"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == batch
