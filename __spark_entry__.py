@@ -612,6 +612,33 @@ def q_kgml_edges_mixed(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join, self-temporal: every event gets the user's
+    most recent signup event at-or-before its timestamp (union+window
+    plan — one shuffle, no range-join blowup; see pipeline/temporal.py).
+    Integer epoch-micros + bigint payload keep every column exact."""
+    from knext_spark.pipeline import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts_us", "event_id"
+    )
+    out = asof_join(
+        ev.drop("event_type"),
+        right,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload="event_id",
+    )
+    return out.select("event_id", "user_id", "ts_us", "asof_event_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (batch operator;
     its applyInPandasWithState streaming twin is gated stream==batch in
@@ -683,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgml_edges_mixed": q_kgml_edges_mixed,
         "kgml_edges_contract": q_kgml_edges_contract,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1515,5 +1543,38 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_events,
                    max(us) - min(us) as duration_us
             from s group by user_id, session_id
+        """,
+        "asof_join": """
+            with l as (
+              select event_id, user_id, epoch_us(ts) as us from events
+            ),
+            r0 as (
+              select user_id, epoch_us(ts) as us, event_id from events
+              where event_type = 'signup'
+            ),
+            r as (
+              select user_id, us, event_id as payload from (
+                select *, row_number() over (
+                  partition by user_id, us
+                  order by event_id desc, event_id desc
+                ) as rn from r0
+              ) where rn = 1
+            ),
+            u as (
+              select user_id as k, us as t, 1 as tag, payload,
+                     null::bigint as event_id
+              from r
+              union all
+              select user_id, us, 2, null, event_id from l
+            ),
+            w as (
+              select *, last_value(payload ignore nulls) over (
+                partition by k order by t, tag
+                rows between unbounded preceding and current row
+              ) as asof_event_id
+              from u
+            )
+            select event_id, k as user_id, t as ts_us, asof_event_id
+            from w where tag = 2
         """,
     }

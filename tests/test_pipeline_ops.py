@@ -364,3 +364,28 @@ def test_no_retained_rdds_after_calls(spark):
     lsh_ann_topk(emb, k=2, planes=4, probes=2).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before  # no block-manager residue from either call
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built backward as-of cases: no right row yet -> null;
+    equal timestamps match (backward-INCLUSIVE); several right rows at
+    one (key, ts) collapse to the max-tie payload; keys never seen on
+    the right stay null throughout."""
+    from knext_spark.pipeline import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 10), (3, "a", 20), (4, "b", 10), (5, "c", 10)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # b has two rows at t=10 (tie -> max payload wins); a at 10, 15
+        [("a", 10, 100), ("a", 15, 150), ("b", 10, 7), ("b", 10, 9)],
+        "k string, t long, payload long",
+    )
+    out = {
+        r["id"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="t", payload="payload"
+        ).collect()
+    }
+    assert out == {1: None, 2: 100, 3: 150, 4: 9, 5: None}
