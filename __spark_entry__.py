@@ -639,6 +639,35 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_us", "asof_event_id")
 
 
+def q_range_join(spark, sf_dir):
+    """Forward range join, self-temporal: every signup event pairs with
+    all same-user events in the following 30 minutes (bucketized band
+    join — equi-join on (key, floor(t/delta)) over two exploded buckets,
+    never a nested-loop range predicate; see pipeline/temporal.py)."""
+    from knext_spark.pipeline import range_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    left = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.select("user_id", "ts_us", "event_id")
+    out = range_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        delta=1_800_000_000,
+        payload="event_id",
+    )
+    return out.select("event_id", "user_id", "ts_us", "range_event_id", "gap")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (batch operator;
     its applyInPandasWithState streaming twin is gated stream==batch in
@@ -711,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgml_edges_contract": q_kgml_edges_contract,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1576,5 +1606,18 @@ def oracle_sql() -> dict[str, str]:
             )
             select event_id, k as user_id, t as ts_us, asof_event_id
             from w where tag = 2
+        """,
+        "range_join": """
+            with l as (
+              select event_id, user_id, epoch_us(ts) as us from events
+              where event_type = 'signup'
+            ),
+            r as (
+              select user_id, epoch_us(ts) as us, event_id from events
+            )
+            select l.event_id, l.user_id, l.us as ts_us,
+                   r.event_id as range_event_id, r.us - l.us as gap
+            from l join r on l.user_id = r.user_id
+                         and r.us >= l.us and r.us <= l.us + 1800000000
         """,
     }

@@ -35,7 +35,7 @@ from knext_spark.pipeline.dedup import (  # noqa: F401
     simhash,
     shingles_col,
 )
-from knext_spark.pipeline.temporal import asof_join  # noqa: F401
+from knext_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from knext_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     hot_buckets,

@@ -1,4 +1,4 @@
-"""Temporal joins Spark lacks as built-ins: as-of join.
+"""Temporal joins Spark lacks as built-ins: as-of join, range join.
 
 ``asof_join`` matches every left row to the single right row with the
 greatest right timestamp <= the left timestamp (backward as-of, the
@@ -19,6 +19,17 @@ last-wins would then depend on sort ties, so the right side is first
 collapsed to one row per (key, t) — row_number ordered by
 (tie desc, payload desc), stated in the API and reproduced identically
 in the DuckDB oracle (driver row ``asof_join``).
+
+``range_join`` pairs every left row with every right row whose
+timestamp falls in ``[l.t, l.t + delta]``. Catalyst plans the naive
+``r.t between l.t and l.t + delta`` predicate as a broadcast
+nested-loop (per-key cross product) — the scale pattern here is the
+BUCKETIZED BAND JOIN: bucket = floor(t / delta); a right row in the
+window necessarily lives in the left row's bucket or the next one, so the left
+side explodes to exactly those two buckets, the join is an equi-join
+on (key, bucket), and the exact range predicate filters the ~2x
+candidate superset. Each (l, r) pair is generated at most once (a
+right row has ONE bucket), so no dedup is needed.
 """
 
 from __future__ import annotations
@@ -77,4 +88,44 @@ def asof_join(
     return matched.select(
         *[F.col("__row")[c].alias(c) for c in lcols],
         F.col("__asof").alias(f"asof_{payload}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    delta: int,
+    payload: str,
+) -> DataFrame:
+    """Forward range join -> one row per (left row, right row with
+    ``right_ts`` in [left_ts, left_ts + delta]), carrying all left
+    columns plus ``range_<payload>`` and ``gap`` (right_ts - left_ts).
+    Timestamps and ``delta`` share one integer unit (epoch micros in
+    the driver contract)."""
+    lcols = left.columns
+    lb = F.floor(F.col(left_ts) / delta).cast("long")
+    l = left.select(
+        F.struct(*lcols).alias("__row"),
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__lt"),
+        F.explode(F.array(lb, lb + 1)).alias("__b"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__rt"),
+        F.floor(F.col(right_ts) / delta).cast("long").alias("__b"),
+        F.col(payload).alias("__payload"),
+    )
+    gap = F.col("__rt") - F.col("__lt")
+    return (
+        l.join(r, ["__k", "__b"])
+        .where((gap >= 0) & (gap <= delta))
+        .select(
+            *[F.col("__row")[c].alias(c) for c in lcols],
+            F.col("__payload").alias(f"range_{payload}"),
+            gap.alias("gap"),
+        )
     )
