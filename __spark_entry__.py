@@ -612,6 +612,16 @@ def q_kgml_edges_mixed(spark, sf_dir):
     )
 
 
+def q_k_core(spark, sf_dir):
+    """k-core of the lineitem-derived graph (iterative peeling to the
+    fixpoint; exact integer outputs). Oracle: unrolled materialized-CTE
+    peeling rounds — idempotent at the fixpoint, so the generous unroll
+    equals the converged engine result (see _kcore_sql)."""
+    from knext_spark.graph import k_core
+
+    return k_core(_edge_table(spark, sf_dir), k=3)
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join, self-temporal: every event gets the user's
     most recent signup event at-or-before its timestamp (union+window
@@ -741,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "k_core": q_k_core,
     }
 
 
@@ -1032,6 +1043,44 @@ def _lpa_sql(k: int = 10) -> str:
     {",".join(its)}
     select node, label from l{k}
     """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 24, edge: str | None = None) -> str:
+    """Unrolled k-core peeling. Each round drops nodes whose current
+    undirected degree is < k and their incident edges; peeling is
+    idempotent at the fixpoint, so ``rounds`` only needs to be >= the
+    graph's peeling depth (24 is generous for the mod-1000 lineitem
+    graphs; a deeper graph fails the gate loudly rather than passing
+    wrongly). CTEs are MATERIALIZED — DuckDB inlines per reference and
+    the chain would otherwise re-expand exponentially."""
+    edge = edge or _EDGE_SQL
+    parts = [
+        f"""
+        with e0 as materialized (
+          with e as ({edge})
+          select distinct src, dst from (
+            select src, dst from e where src <> dst
+            union all
+            select dst as src, src as dst from e where src <> dst
+          )
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        s{i} as materialized (
+          select p.src, p.dst from {prev} p
+          join (select src, count(*) c from {prev} group by src) a
+            on a.src = p.src and a.c >= {k}
+          join (select src, count(*) c from {prev} group by src) b
+            on b.src = p.dst and b.c >= {k}
+        )""")
+        prev = f"s{i}"
+    parts.append(f"""
+        select src as node, cast(count(*) as bigint) as core_deg
+        from {prev} group by src
+    """)
+    return "".join(parts)
 
 
 _KGML_COMBOS = (
@@ -1620,4 +1669,5 @@ def oracle_sql() -> dict[str, str]:
             from l join r on l.user_id = r.user_id
                          and r.us >= l.us and r.us <= l.us + 1800000000
         """,
+        "k_core": _kcore_sql(3),
     }

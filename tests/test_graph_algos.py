@@ -483,3 +483,28 @@ def test_hot_broadcast_lpa_parity(spark, tmp_path):
             hot_threshold=thr, salt_k=3,
         ).state.collect()}
         assert both == plain
+
+
+def test_k_core_vs_networkx(spark, corpus_edges):
+    """Exact k-core parity with NetworkX on the KGML-derived corpus
+    graph and on adversarial shapes: same node set, same within-core
+    degrees, empty when k exceeds the degeneracy."""
+    from knext_spark.graph import k_core
+
+    for k in (2, 3):
+        G = nx.Graph()
+        G.add_edges_from((a, b) for a, b in corpus_edges if a != b)
+        core = nx.k_core(G, k)
+        got = {
+            r["node"]: r["core_deg"]
+            for r in k_core(_edge_df(spark, corpus_edges), k=k).collect()
+        }
+        assert got == {n: d for n, d in core.degree()}
+    # path graph: peeling depth equals the path length (worst case) and
+    # the 2-core of a tree is empty
+    path = [(f"p{i}", f"p{i+1}") for i in range(12)]
+    assert k_core(_edge_df(spark, path), k=2).count() == 0
+    # cycle: every node survives the 2-core with degree 2
+    cyc = [(f"c{i}", f"c{(i+1) % 6}") for i in range(6)]
+    got = {r["node"]: r["core_deg"] for r in k_core(_edge_df(spark, cyc), k=2).collect()}
+    assert got == {f"c{i}": 2 for i in range(6)}
