@@ -7,8 +7,10 @@ time-series standard: "the latest state known at event time").
 Implementation is the UNION + WINDOW pattern, not a range join:
 tag both inputs, union them on (key, t), and carry the right side's
 payload forward with ``last(..., ignorenulls=True)`` over a
-(key)-partitioned, (t, tag)-ordered running window. That is ONE
-shuffle on the join key and a per-key sort — linear in rows — where a
+(key)-partitioned, (t, tag)-ordered running window. That is one
+shuffle on the join key plus one (key, t) shuffle for the
+deterministic right-side collapse (audited: exactly 2 exchanges in
+the physical plan) and a per-key sort — linear in rows — where a
 naive ``l.t >= r.t`` theta-join is a per-key cross product
 (O(|L_k| x |R_k|)) that Spark plans as BroadcastNestedLoop or a range
 join blowup at 100 TB. Right rows sort BEFORE left rows at equal
