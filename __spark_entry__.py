@@ -1639,18 +1639,23 @@ def oracle_sql() -> dict[str, str]:
                 ) as rn from r0
               ) where rn = 1
             ),
+            -- struct marker mirrors the engine: a right row is a
+            -- non-null OBSERVATION even when its payload is null, so
+            -- a matched null payload attaches (merge_asof semantics)
+            -- instead of forwarding an older timestamp's payload
             u as (
-              select user_id as k, us as t, 1 as tag, payload,
+              select user_id as k, us as t, 1 as tag,
+                     struct_pack(p := payload) as obs,
                      null::bigint as event_id
               from r
               union all
               select user_id, us, 2, null, event_id from l
             ),
             w as (
-              select *, last_value(payload ignore nulls) over (
+              select *, (last_value(obs ignore nulls) over (
                 partition by k order by t, tag
                 rows between unbounded preceding and current row
-              ) as asof_event_id
+              )).p as asof_event_id
               from u
             )
             select event_id, k as user_id, t as ts_us, asof_event_id

@@ -38,7 +38,17 @@ def k_core(
     checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, core_deg) for every node of the k-core; ``core_deg`` is
-    the node's degree WITHIN the core (>= k by construction)."""
+    the node's degree WITHIN the core (>= k by construction).
+
+    ``k >= 1`` only: membership is derived from surviving edges, so a
+    zero-degree node never appears — nx.k_core(G, 0) keeps isolated
+    nodes, and silently diverging there would betray the exact-parity
+    claim, hence the guard."""
+    if k < 1:
+        raise ValueError(
+            f"k_core requires k >= 1 (got {k}): the 0-core includes "
+            "isolated nodes, which an edge-derived membership cannot see"
+        )
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     und = (
         e.unionByName(

@@ -330,14 +330,24 @@ def hot_buckets(
     vec: str = "embedding",
 ) -> DataFrame:
     """The audit report the prune itself no longer computes eagerly:
-    (bucket, size) for every bucket over ``max_bucket``. Run before a
-    big ANN job to see what a cap will drop (pruned members can still
-    surface via query-side probes in lsh_ann_topk/embedding_near_dups
-    with probes > 0)."""
-    b = emb.select(lsh_bucket(F.col(vec), planes).alias("bucket"))
+    (bucket, size, min_key, max_key) for every bucket over
+    ``max_bucket`` — the id extrema are cheap map-side-combinable
+    example members (a collect_list of a hot bucket's members is
+    exactly the skew this audits). Run before a big ANN job to see
+    what a cap will drop (pruned members can still surface via
+    query-side probes in lsh_ann_topk/embedding_near_dups with
+    probes > 0)."""
+    b = emb.select(
+        lsh_bucket(F.col(vec), planes).alias("bucket"),
+        F.col(key).alias("__key"),
+    )
     return (
         b.groupBy("bucket")
-        .agg(F.count("*").alias("size"))
+        .agg(
+            F.count("*").alias("size"),
+            F.min("__key").alias("min_key"),
+            F.max("__key").alias("max_key"),
+        )
         .where(F.col("size") > max_bucket)
     )
 

@@ -133,8 +133,11 @@ def _fold_session(
         else:
             last_us, n = max(last_us, t), n + 1
     state.update((sid, start_us, last_us, n))
-    # flush once the watermark passes the open session's gap horizon
-    state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    # flush once the watermark passes the open session's gap horizon;
+    # ceil to ms so the timeout is never EARLIER than the exact
+    # (last_us + gap_us) horizon (separate // truncation of each term
+    # could fire up to 1ms early)
+    state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
     yield pd.DataFrame(
         closed, columns=[f.name for f in SESSION_SCHEMA.fields]
     )

@@ -508,3 +508,16 @@ def test_k_core_vs_networkx(spark, corpus_edges):
     cyc = [(f"c{i}", f"c{(i+1) % 6}") for i in range(6)]
     got = {r["node"]: r["core_deg"] for r in k_core(_edge_df(spark, cyc), k=2).collect()}
     assert got == {f"c{i}": 2 for i in range(6)}
+
+
+def test_k_core_rejects_k_below_one(spark):
+    """k=0 would require isolated-node membership that an edge-derived
+    core cannot represent (nx.k_core(G, 0) keeps them) — explicit
+    ValueError instead of a silent divergence."""
+    import pytest as _pytest
+
+    from knext_spark.graph import k_core
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="k >= 1"):
+        k_core(e, k=0)

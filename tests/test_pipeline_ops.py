@@ -422,3 +422,111 @@ def test_range_join_semantics(spark):
         (2, 52, 7),
         (2, 53, 10),  # 19 found across the bucket edge (floor(19/10)=1)
     }
+
+
+def test_asof_join_null_payload_is_an_observation(spark):
+    """A matched right row whose payload is legitimately NULL attaches
+    NULL (pandas merge_asof semantics) — it must NOT forward an older
+    timestamp's payload. The struct-marker carry makes right rows
+    non-null observations regardless of payload; the tie column keeps
+    determinism when payload is null."""
+    from knext_spark.pipeline import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 12), (3, "a", 20)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 40, 1), ("a", 10, None, 2), ("a", 18, 80, 3)],
+        "k string, t long, payload long, seq long",
+    )
+    for bd in (None, 7):
+        out = {
+            r["id"]: r["asof_payload"]
+            for r in asof_join(
+                left, right, key="k", left_ts="t", right_ts="t",
+                payload="payload", tie="seq", bucket_delta=bd,
+            ).collect()
+        }
+        assert out == {1: 40, 2: None, 3: 80}, f"bucket_delta={bd}"
+
+
+def test_asof_join_bucketed_equals_single_window(spark):
+    """The skew path (bucket_delta) is a pure physical rewrite: on a
+    seeded random input — hot key with a long timeline, sparse keys,
+    empty buckets between events, ties — its output is row-identical
+    to the single-window plan at several bucket widths (including one
+    so small most buckets hold a single row, and one so large all rows
+    share a bucket, which degenerates to the unbucketed plan)."""
+    import random
+
+    from knext_spark.pipeline import asof_join
+
+    rng = random.Random(1105)
+    keys = ["hot"] * 60 + ["warm"] * 12 + ["cold"]
+    left_rows = [
+        (i, rng.choice(keys), rng.randrange(0, 500))
+        for i in range(200)
+    ]
+    right_rows = [
+        (rng.choice(keys), rng.randrange(0, 500), rng.randrange(0, 50))
+        for _ in range(150)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, payload long")
+
+    def run(bd):
+        return sorted(
+            (r["id"], r["asof_payload"])
+            for r in asof_join(
+                left, right, key="k", left_ts="t", right_ts="t",
+                payload="payload", bucket_delta=bd,
+            ).collect()
+        )
+
+    base = run(None)
+    for bd in (3, 50, 10_000):
+        assert run(bd) == base, f"bucket_delta={bd} diverged"
+
+
+def test_temporal_bucket_ids_exact_beyond_double(spark):
+    """Bucket ids are integer arithmetic: at timestamps >= 2**53 (where
+    double-division floors into the wrong bucket) range_join still
+    finds exactly the in-band pairs and asof_join still matches."""
+    from knext_spark.pipeline import asof_join, range_join
+
+    base = (1 << 60) + 1  # not representable in double
+    left = spark.createDataFrame(
+        [(1, "a", base)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", base + 9, 91), ("a", base + 11, 92), ("a", base - 1, 90)],
+        "k string, t long, payload long",
+    )
+    pairs = {
+        (r["range_payload"], r["gap"])
+        for r in range_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            delta=10, payload="payload",
+        ).collect()
+    }
+    assert pairs == {(91, 9)}  # base+11 out of band, base-1 behind
+    a = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        payload="payload", bucket_delta=10,
+    ).collect()
+    assert [r["asof_payload"] for r in a] == [90]
+
+
+def test_hot_buckets_reports_example_members(spark):
+    """hot_buckets surfaces (size, min_key, max_key) per over-cap
+    bucket; the extrema are real member ids."""
+    from knext_spark.pipeline.similarity import hot_buckets
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)] + [(100, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hot_buckets(emb, planes=2, max_bucket=4).collect()
+    assert len(rows) == 1
+    (h,) = rows
+    assert h["size"] == 8 and h["min_key"] == 0 and h["max_key"] == 7
