@@ -8,10 +8,16 @@ anti-joins (both on the same symmetric edge frame, so Catalyst keys
 every step on the node column: one shuffle family). Round count is
 bounded by the peeling depth (graph-dependent, small in practice —
 a hub-and-spoke graph peels in one round, a path graph of length L in
-O(L)); ``localCheckpoint`` every few rounds truncates lineage so plans
-stay O(1) deep, with deterministic retirement via
-``unpersist_checkpoint`` (plain unpersist is a no-op on
-localCheckpoint-backed frames).
+O(L)).
+
+The loop runs on the shared ``SuperstepRunner`` (graph/superstep.py),
+the same engine as pagerank/cc/lpa: every superstep's surviving edge
+frame commits to Parquet with ``_metrics.json`` (wall, rows, peeled
+count, per-partition lineage), a killed run resumes from the last
+committed round (``resume=True``), and the Parquet read-back bounds
+Catalyst plan depth at O(1) — the north rule's
+checkpoint/resume/lineage contract, uniformly across the iterative
+algorithms.
 
 The edge input is directed (src, dst); degree here is UNDIRECTED
 (symmetrized, self-loops dropped, parallel edges collapsed) — the
@@ -26,19 +32,34 @@ would surface as a red row, the safe failure direction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import tempfile
 
-from knext_spark.graph.superstep import unpersist_checkpoint
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from knext_spark.graph.superstep import (
+    SuperstepResult,
+    SuperstepRunner,
+    unpersist_checkpoint,
+)
 
 
-def k_core(
+def k_core_run(
+    spark: SparkSession,
     edges: DataFrame,
     k: int = 2,
+    checkpoint_dir: str | None = None,
+    run_id: str = "default",
+    resume: bool = False,
     max_iter: int = 1000,
-    checkpoint_every: int = 4,
-) -> DataFrame:
-    """(node, core_deg) for every node of the k-core; ``core_deg`` is
-    the node's degree WITHIN the core (>= k by construction).
+    cadence: int = 1,
+) -> SuperstepResult:
+    """Full-control variant: SuperstepResult whose ``state`` is the
+    (node, core_deg) membership frame and whose ``metrics`` carry one
+    entry per peeling round (rows = surviving DIRECTED-symmetrized
+    edges, ``peeled`` = nodes dropped that round, per-partition
+    lineage). ``resume=True`` restarts from the last committed round
+    under ``checkpoint_dir`` — bit-identical final membership, gated
+    by the kill/resume test.
 
     ``k >= 1`` only: membership is derived from surviving edges, so a
     zero-degree node never appears — nx.k_core(G, 0) keeps isolated
@@ -49,39 +70,64 @@ def k_core(
             f"k_core requires k >= 1 (got {k}): the 0-core includes "
             "isolated nodes, which an edge-derived membership cannot see"
         )
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    und = (
-        e.unionByName(
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
+
+    def init_state() -> DataFrame:
+        e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        return e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
-    cur = und
-    retired = [und]
-    for it in range(max_iter):
+        ).dropDuplicates(["src", "dst"])
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
         bad = (
-            cur.groupBy("src")
+            state.groupBy("src")
             .agg(F.count("*").alias("__d"))
             .where(F.col("__d") < k)
             .select("src")
         )
-        if bad.isEmpty():
-            break
+        # one cheap job against the committed Parquet state; the
+        # runner's commit re-reads the anti-join output anyway, so an
+        # eager localCheckpoint here would only duplicate I/O
+        n_bad = bad.count()
+        if n_bad == 0:
+            return state, {"peeled": 0}
         # no broadcast hint: the first rounds can prune O(V) nodes, so
         # the anti-join side is NOT guaranteed small — AQE picks a
         # broadcast at runtime once the frontier shrinks
-        nxt = cur.join(bad, "src", "left_anti").join(
+        nxt = state.join(bad, "src", "left_anti").join(
             bad.withColumnRenamed("src", "dst"), "dst", "left_anti"
         )
-        if (it + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            retired.append(nxt)
-        cur = nxt
-    out = cur.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("core_deg")
+        return nxt, {"peeled": n_bad}
+
+    def converged(m: dict) -> bool:
+        return m.get("peeled", 1) == 0
+
+    runner = SuperstepRunner(spark, "kcore", run_id, checkpoint_dir, cadence=cadence)
+    res = runner.run(init_state, step, converged, max_iter, resume=resume)
+    out = (
+        res.state.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("core_deg"))
+        .localCheckpoint(eager=True)
     )
-    result = out.localCheckpoint(eager=True)
-    for frame in retired:
-        unpersist_checkpoint(frame)
-    return result
+    unpersist_checkpoint(res.state)
+    return SuperstepResult(out, res.iterations, res.converged, res.metrics)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iter: int = 1000,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, core_deg) for every node of the k-core; ``core_deg`` is
+    the node's degree WITHIN the core (>= k by construction).
+    Convenience wrapper over ``k_core_run`` (ephemeral checkpoint dir;
+    ``checkpoint_every`` maps to the runner's commit cadence)."""
+    return k_core_run(
+        edges.sparkSession,
+        edges,
+        k=k,
+        max_iter=max_iter,
+        cadence=max(1, checkpoint_every),
+    ).state

@@ -521,3 +521,44 @@ def test_k_core_rejects_k_below_one(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError, match="k >= 1"):
         k_core(e, k=0)
+
+
+def test_k_core_resume_identical(spark, tmp_path):
+    """Kill-at-round-2 resume for k-core peeling (north rule: every
+    superstep checkpoints so a killed job resumes mid-iteration). The
+    peeling order is deterministic, so interrupted + resumed must be
+    bit-identical to an uninterrupted run, converge at the same round,
+    and carry per-round peeled counts in the metrics."""
+    import networkx as nx
+
+    from knext_spark.graph import k_core_run
+
+    # two triangles plus a dangling chain off one of them: the chain
+    # peels one node per round (p3, then p2, then p1) before the
+    # 2-core (the triangles) remains — several supersteps to resume
+    # across
+    e = (
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+        + [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+        + [("a1", "p1"), ("p1", "p2"), ("p2", "p3")]
+    )
+    df = spark.createDataFrame(e, "src string, dst string")
+    full = k_core_run(spark, df, k=2, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    assert any(m.get("peeled", 0) > 0 for m in full.metrics)
+
+    killed = k_core_run(
+        spark, df, k=2, checkpoint_dir=str(tmp_path / "p"), max_iter=2
+    )
+    assert not killed.converged  # the "kill": capped before fixpoint
+    resumed = k_core_run(
+        spark, df, k=2, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+
+    want = {r["node"]: r["core_deg"] for r in full.state.collect()}
+    got = {r["node"]: r["core_deg"] for r in resumed.state.collect()}
+    assert got == want
+    G = nx.Graph(e)
+    assert want == dict(nx.k_core(G, 2).degree())
