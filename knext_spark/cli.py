@@ -62,7 +62,10 @@ def _parse(args, mixed: bool):
 
     spark = _spark(args)
     parsed = parse_docs(read_docs(spark, args.table))
-    edges = build_edges(parsed, mixed=mixed, unique=args.unique)
+    edges = build_edges(
+        parsed, mixed=mixed, unique=args.unique,
+        propagate=getattr(args, "propagate", "faithful"),
+    )
     write_edges_warehouse(edges, args.out)
     quarantine_docs(parsed).write.mode("overwrite").parquet(args.out + "_quarantine")
     if args.tsv_dir:
@@ -180,6 +183,26 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--out", required=True)
         s.add_argument("--unique", action="store_true")
         s.add_argument("--tsv-dir", default=None)
+        s.add_argument(
+            "--propagate",
+            choices=("faithful", "contract"),
+            default="faithful",
+            help=(
+                "genes-mode compound/undefined propagation variant. "
+                "'faithful' (default) reproduces the reference's per-"
+                "document BFS byte-exactly but groups each document "
+                "into one Arrow batch — right for reference parity "
+                "and corpora whose single documents fit an executor. "
+                "'contract' is a pure-DataFrame reachability fixpoint "
+                "with no per-document grouping — the scale path. The "
+                "variants can differ: faithful's bridge set is a "
+                "SUBSET of contract's true closure (proved by "
+                "property test); contract finds extra multi-hop "
+                "compound bridges on some corpora (e.g. +8 edges on "
+                "the 24-doc test corpus). See README 'Propagation "
+                "variants'."
+            ),
+        )
         s.set_defaults(fn=lambda a, m=mixed: _parse(a, m))
 
     s = sub.add_parser("convert")
