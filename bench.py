@@ -125,6 +125,111 @@ def _static_plan(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+_SCALE_OFF = 1_000_000_000  # key offset per replica; divisible by 1000
+# so the lineitem-derived mod-1000 graph queries collapse replicas onto
+# identical edges (they then measure the k-fold distinct/dedup; the
+# graph itself is constant by construction)
+
+
+def _build_scaled_sf(spark, sf_dir: str, k: int) -> str:
+    """Deterministic k-fold replication of the suite's input tables
+    into disjoint id spaces — the second bench scale point (no sf1
+    parquet exists on disk, and the task mandates synthesizing scale
+    deterministically). Replica 0 is the original bytes; replica r:
+
+    - offsets every join/group key by r * 1e9, so per-replica join and
+      group structure is IDENTICAL and output volume scales linearly;
+    - prefixes every document token with 'r{r}', so shingle / minhash
+      / simhash structure is preserved WITHIN a replica but never
+      collides ACROSS replicas — the near-dup workload scales the way
+      k-fold fresh data would, instead of creating k-cliques of exact
+      duplicates;
+    - sign-flips a deterministic half of the embedding dimensions per
+      replica (an isometry: within-replica cosines are bit-preserved,
+      across-replica vectors decorrelate) — the ANN workload scales
+      like fresh data.
+
+    Untouched dimension tables are symlinked. Cached under /tmp keyed
+    by (sf name, k)."""
+    import shutil
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/bench_scaled_{name}_x{k}"
+    marker = os.path.join(out_dir, "_SCALED_OK")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    def reps(table: str, build):
+        parts = [build(spark.read.parquet(f"{sf_dir}/{table}.parquet"), r)
+                 for r in range(k)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+    def off(df, r, *keys):
+        return df.select(
+            *[
+                (F.col(c) + F.lit(r * _SCALE_OFF)).alias(c)
+                if c in keys else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    reps("lineitem", lambda df, r: off(df, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    reps("orders", lambda df, r: off(df, r, "o_orderkey", "o_custkey"))
+    reps("part", lambda df, r: off(df, r, "p_partkey"))
+    reps("customer", lambda df, r: off(df, r, "c_custkey"))
+    reps("events", lambda df, r: off(df, r, "event_id", "user_id"))
+
+    def docs(df, r):
+        df = off(df, r, "doc_id")
+        if r == 0:
+            return df
+        newtext = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(F.lit(f"r{r}"), x),
+            ),
+            " ",
+        )
+        return df.withColumn("text", newtext).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+
+    reps("documents", docs)
+
+    dim = len(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding").first()["embedding"]
+    )
+
+    def embs(df, r):
+        df = off(df, r, "vec_id")
+        if r == 0:
+            return df
+        signs = F.array(*[
+            F.lit(1.0 if ((r * 1315423911 + i * 2654435761) >> 7) & 1 else -1.0)
+            for i in range(dim)
+        ])
+        return df.withColumn(
+            "embedding",
+            F.zip_with("embedding", signs, lambda v, s: (v * s).cast("float")),
+        )
+
+    reps("embeddings", embs)
+
+    for table in ("region", "nation", "supplier"):
+        src = f"{sf_dir}/{table}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{out_dir}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     """Each query is repeated SPARK_GRAFT_BENCH_RUNS times (default 3,
     fresh DataFrame each rep so planning cost is included); reported
@@ -139,9 +244,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    scale = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1")))
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(8, int(cpus))
     )
+    if scale > 1:
+        sf_dir = _build_scaled_sf(spark, sf_dir, scale)
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     extras: dict[str, float] = {}
@@ -160,10 +268,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # parse timing: rebuild the whole pipeline each rep (nothing
     # persisted yet, so no cache hit); then persist one copy for the
     # downstream graph phases
+    kgml_docs = _corpus_docs_for_sf(sf) * scale
     n_kgml_edges = timed(
-        "kgml_parse_edges", lambda: _build_kgml_edges(spark, sf).count()
+        "kgml_parse_edges",
+        lambda: _build_kgml_edges(spark, sf, n_docs=kgml_docs).count(),
     )
-    edges = _build_kgml_edges(spark, sf)
+    edges = _build_kgml_edges(spark, sf, n_docs=kgml_docs)
     edges.persist().count()
     extras["kgml_n_edges"] = n_kgml_edges
     extras["kgml_edges_per_sec"] = round(
@@ -235,6 +345,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "queries_spread": spread,
         "bench_runs_per_query": runs,
         "sf": sf,
+        "bench_scale": scale,
+        "effective_sf": round(sf * scale, 3),
+        "kgml_docs": kgml_docs,
         "cpus": cpus,
         **extras,
     }
@@ -623,6 +736,75 @@ def run_skew(sf_dir: str) -> dict:
         "overwrite"
     ).parquet(hub_dir)
 
+    _cc_hub_cache: dict[str, str] = {}
+
+    def cc_hub_dir() -> str:
+        """Component-PRESERVING hub input for the CC probe (built on
+        demand — needs one converged CC run over the uniform corpus,
+        cached next to it).
+
+        The merging hub above is the right probe for LPA (labels flow
+        through it without changing the state size), but it's the
+        WRONG one for CC: linking one vertex to everything collapses
+        the components, so the hub run contracts a different graph
+        every round and round-k walls compare apples to oranges
+        (BENCH.md §5 punted on CC for exactly this reason). Here the
+        hub is the largest component's REPRESENTATIVE (its min node
+        id — already the star contraction's natural fan-in key), and
+        its extra edges go to members of ITS OWN component, so the
+        final labeling — and every round's component structure — is
+        unchanged; the two inputs differ only in the hot key's row
+        count. Distinct neighbors are capped by the component size;
+        the remaining rows REPLICATE members, which is faithful for
+        this probe: the star joins and min-aggs are row-driven (min
+        over a duplicate neighbor is idempotent), so shuffle and join
+        skew on the hot key depend on the hub's ROW count, not its
+        distinct-neighbor count."""
+        if "dir" in _cc_hub_cache:
+            return _cc_hub_cache["dir"]
+        cc_dir = uniform_dir.rstrip("/") + "_cc_labels"
+        if not os.path.exists(os.path.join(cc_dir, "_SUCCESS")):
+            res = connected_components(
+                spark, spark.read.parquet(uniform_dir),
+                checkpoint_dir=tempfile.mkdtemp(prefix="bench_skew_ccref_"),
+                cadence=1000, max_iter=50,
+            )
+            res.state.write.mode("overwrite").parquet(cc_dir)
+        labels = spark.read.parquet(cc_dir)
+        top = (
+            labels.groupBy("component").count()
+            .orderBy(F.desc("count"), F.asc("component")).first()
+        )
+        rep, comp_size = int(top["component"]), int(top["count"])
+        members = (
+            labels.where(
+                (F.col("component") == rep) & (F.col("node") != rep)
+            ).select(F.col("node").alias("src"))
+        )
+        copies = max(1, -(-hub_deg // max(1, comp_size - 1)))
+        boost = (
+            members.crossJoin(
+                spark.range(copies).select(F.col("id").alias("__c"))
+            )
+            .limit(hub_deg)
+            .select(
+                "src",
+                F.lit(rep).cast("long").alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="bench_skew_cchub_")
+        spark.read.parquet(uniform_dir).unionByName(boost).repartition(
+            n_part
+        ).write.mode("overwrite").parquet(d)
+        _cc_hub_cache["dir"] = d
+        _cc_hub_cache["meta"] = {  # type: ignore[assignment]
+            "hub_node": rep, "component_size": comp_size,
+            "distinct_neighbors": min(hub_deg, comp_size - 1),
+            "edge_copies": copies,
+        }
+        return d
+
     def one_variant(d: str, salt_k=1, hot_threshold=None) -> dict:
         edges = spark.read.parquet(d).persist()
         n_edges = edges.count()
@@ -669,6 +851,9 @@ def run_skew(sf_dir: str) -> dict:
         "hub": lambda: one_variant(hub_dir),
         "hub_hot": lambda: one_variant(hub_dir, hot_threshold="auto"),
         "hub_salted": lambda: one_variant(hub_dir, salt_k=salt),
+        # component-preserving variants — the CC-comparable probe
+        "hub_cc": lambda: one_variant(cc_hub_dir()),
+        "hub_cc_salted": lambda: one_variant(cc_hub_dir(), salt_k=salt),
     }
     which = [
         w.strip()
@@ -686,21 +871,33 @@ def run_skew(sf_dir: str) -> dict:
     # ratios need the uniform baseline; a hub-only selection (e.g. to
     # re-measure one mitigation) still returns its absolute walls
     base = out.get("uniform", {}).get("lpa_s_per_step")
-    # the hub variants carry hub_degree MORE edges; divide out the
-    # volume delta so the ratios isolate the skew effect proper
-    vol = (
-        next(
-            (out[k]["n_edges"] for k in out if k != "uniform"),
-            out["uniform"]["n_edges"],
-        ) / out["uniform"]["n_edges"]
-        if base
-        else 1.0
-    )
+    # the hub variants carry hub_degree MORE edges; divide out each
+    # variant's OWN volume delta so the ratios isolate the skew effect
+    uni_edges = out.get("uniform", {}).get("n_edges", 1)
+
+    def _vol(k: str) -> float:
+        return out[k]["n_edges"] / uni_edges
+
     ratios = {
-        f"lpa_{k}_ratio": round(out[k]["lpa_s_per_step"] / base / vol, 3)
+        f"lpa_{k}_ratio": round(
+            out[k]["lpa_s_per_step"] / base / _vol(k), 3
+        )
         for k in out
         if k != "uniform" and base
     }
+    vol = _vol(next((k for k in out if k != "uniform"), "uniform"))
+    # CC ratios only for the component-preserving variants: those
+    # contract the SAME graph every round as uniform, so the summed
+    # walls over the shared round prefix compare like to like
+    uni_cc = out.get("uniform", {}).get("cc_per_round_walls")
+    for k in out:
+        if k.startswith("hub_cc") and uni_cc:
+            h = out[k]["cc_per_round_walls"]
+            nr = min(len(uni_cc), len(h))
+            ratios[f"cc_{k}_ratio"] = round(
+                sum(h[:nr]) / sum(uni_cc[:nr]) / _vol(k), 3
+            )
+    cc_hub_meta = _cc_hub_cache.get("meta")
     headline = (
         "lpa_hub_hot_ratio" if "hub_hot" in out
         else next(iter(ratios), "lpa_uniform_ratio")
@@ -711,11 +908,251 @@ def run_skew(sf_dir: str) -> dict:
         "unit": "ratio",
         **ratios,
         "edge_volume_ratio": round(vol, 4),
+        **({"cc_hub": cc_hub_meta} if cc_hub_meta else {}),
         "aqe": aqe,
         "salt_k": salt,
         "hub_degree": hub_deg,
         "supersteps": steps,
         "cpus": cpus,
+        "variants": out,
+    }
+
+
+def run_recall(sf_dir: str) -> dict:
+    """Recall@k curves for the two ANN families vs brute-force truth.
+
+    The tests prove DIRECTION (recall monotone in probes / nprobe,
+    nprobe=K exact); this mode measures the NUMBERS a user needs to
+    choose a family and a probe budget: recall@k and wall seconds for
+    - LSH: probes 0,1,2,4,8 x probe_rank {fixed, distance}
+    - IVF: nprobe 1,2,4,8,K (K = n_centroids)
+    on the $SPARK_GRAFT_SF_DIR embeddings table (sf0.1 = 2,000
+    vectors of dim 64 — small enough that exact cosine_topk is an
+    affordable ground truth, which is the whole point of measuring
+    recall here rather than at 100 TB where no truth exists).
+
+    recall@k = |ANN(q) ∩ TRUTH(q)| / k averaged over queries, with
+    TRUTH = exact top-k (ties broken by neighbor id in BOTH engines,
+    so the intersection is well-defined). Wall is the median of
+    SPARK_GRAFT_BENCH_RUNS noop-writes of the ANN result (same
+    protocol as the suite).
+
+    Knobs: SPARK_GRAFT_RECALL_K (default 10), SPARK_GRAFT_RECALL_PLANES
+    (default 6: 64 buckets over 2,000 vectors ≈ 31/bucket — mid-range
+    selectivity so the curve spans a useful band), SPARK_GRAFT_RECALL_
+    CENTROIDS (default 16)."""
+    import statistics
+
+    from knext_spark.pipeline.similarity import (
+        cosine_topk, ivf_ann_topk, lsh_ann_topk,
+    )
+    from knext_spark.session import get_spark
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    k = int(os.environ.get("SPARK_GRAFT_RECALL_K", "10"))
+    planes = int(os.environ.get("SPARK_GRAFT_RECALL_PLANES", "6"))
+    n_cent = int(os.environ.get("SPARK_GRAFT_RECALL_CENTROIDS", "16"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    spark = get_spark(
+        "bench_recall", master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    n = emb.count()
+    truth = cosine_topk(emb, k=k).select("vec_id", "neighbor_id").persist()
+    n_truth = truth.count()
+
+    def measure(name: str, fn) -> dict:
+        walls = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        matched = (
+            fn().select("vec_id", "neighbor_id")
+            .join(truth, ["vec_id", "neighbor_id"]).count()
+        )
+        return {
+            "recall": round(matched / n_truth, 4),
+            "wall_s": round(statistics.median(walls), 3),
+            "walls": walls,
+        }
+
+    curves: dict[str, dict] = {"lsh_fixed": {}, "lsh_ranked": {}, "ivf": {}}
+    for probes in (0, 1, 2, 4, 8):
+        curves["lsh_fixed"][f"probes={probes}"] = measure(
+            f"lsh p{probes} fixed",
+            lambda p=probes: lsh_ann_topk(
+                emb, k=k, planes=planes, probes=p, probe_rank="fixed",
+                max_bucket=None,
+            ),
+        )
+        if probes > 0:  # ranked == fixed at probes=0 by construction
+            curves["lsh_ranked"][f"probes={probes}"] = measure(
+                f"lsh p{probes} ranked",
+                lambda p=probes: lsh_ann_topk(
+                    emb, k=k, planes=planes, probes=p, probe_rank="distance",
+                    max_bucket=None,
+                ),
+            )
+    for nprobe in (1, 2, 4, 8, n_cent):
+        curves["ivf"][f"nprobe={nprobe}"] = measure(
+            f"ivf np{nprobe}",
+            lambda np_=nprobe: ivf_ann_topk(
+                emb, k=k, n_centroids=n_cent, nprobe=np_,
+            ),
+        )
+    truth.unpersist()
+    emb.unpersist()
+    spark.stop()
+    best = max(
+        (v["recall"] for fam in curves.values() for v in fam.values()),
+    )
+    return {
+        "metric": "ann_recall_at_k",
+        "value": best,
+        "unit": "recall",
+        "k": k,
+        "n_vectors": n,
+        "lsh_planes": planes,
+        "ivf_centroids": n_cent,
+        "runs_per_point": runs,
+        "curves": curves,
+        "sf": sf,
+        "cpus": cpus,
+    }
+
+
+def run_temporal_skew(sf_dir: str) -> dict:
+    """Hot-key straggler evidence for asof_join's ``bucket_delta`` path.
+
+    Claim under test (pipeline/temporal.py module docstring): the
+    single-window plan sorts a key's whole timeline in ONE task, so a
+    hot key is a straggler no partition count fixes; bucket_delta's
+    two-level carry-forward splits the hot timeline across tasks at
+    the cost of one small summary aggregate + join.
+
+    Protocol (mirrors --skew): three inputs from the same generator —
+    `uniform` ($SPARK_GRAFT_TSKEW_USERS users x EVENTS events, right
+    side 1 state row per user per STATE_EVERY ticks), and `hot` =
+    uniform + ONE user carrying $SPARK_GRAFT_TSKEW_HOT extra left rows
+    and the matching extra right rows. Both written to Parquet; walls
+    are medians of SPARK_GRAFT_BENCH_RUNS noop-writes. Variants:
+    single-window on uniform (baseline), single-window on hot
+    (unmitigated straggler), bucketed on hot (mitigated), bucketed on
+    uniform (overhead of the extra aggregate when there IS no skew).
+    Ratios are volume-adjusted (hot input has more rows). The
+    bucketed plan's row-identity to the single-window plan is gated
+    separately by tests/test_pipeline_ops.py."""
+    import statistics
+
+    from knext_spark.pipeline.temporal import asof_join
+    from knext_spark.session import get_spark
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_users = int(os.environ.get("SPARK_GRAFT_TSKEW_USERS", "100000"))
+    events = int(os.environ.get("SPARK_GRAFT_TSKEW_EVENTS", "200"))
+    hot_events = int(os.environ.get("SPARK_GRAFT_TSKEW_HOT", "20000000"))
+    state_every = int(os.environ.get("SPARK_GRAFT_TSKEW_STATE_EVERY", "10"))
+    delta = int(os.environ.get("SPARK_GRAFT_TSKEW_DELTA", str(hot_events // 256)))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+    spark = get_spark(
+        "bench_tskew", master=f"local[{cpus}]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+
+    def gen(hot: bool) -> tuple[str, str]:
+        # left: (user_id, t, v); timestamps are integer ticks unique
+        # per user; right: one (user_id, t, state) row per STATE_EVERY
+        # ticks. Deterministic (spark.range arithmetic, no RNG).
+        base = spark.range(n_users * events).select(
+            (F.col("id") % n_users).alias("user_id"),
+            (F.col("id") / n_users).cast("long").alias("t"),
+            F.col("id").alias("v"),
+        )
+        parts = [base]
+        if hot:
+            parts.append(
+                spark.range(hot_events).select(
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.col("id").alias("t"),
+                    (F.col("id") + 7).alias("v"),
+                )
+            )
+        left = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        right = left.where(F.pmod(F.col("t"), F.lit(state_every)) == 0).select(
+            "user_id", F.col("t").alias("rt"), (F.col("v") * 2).alias("state")
+        )
+        tag = "hot" if hot else "uniform"
+        ldir = os.path.join(shm, f"tskew_left_{tag}")
+        rdir = os.path.join(shm, f"tskew_right_{tag}")
+        left.repartition(n_part).write.mode("overwrite").parquet(ldir)
+        right.repartition(n_part).write.mode("overwrite").parquet(rdir)
+        return ldir, rdir
+
+    inputs = {"uniform": gen(False), "hot": gen(True)}
+
+    def one(tag: str, bucket_delta: int | None) -> dict:
+        ldir, rdir = inputs[tag]
+        left = spark.read.parquet(ldir)
+        right = spark.read.parquet(rdir)
+        walls = []
+        for _ in range(runs):
+            t0 = time.time()
+            asof_join(
+                left, right, key="user_id", left_ts="t", right_ts="rt",
+                payload="state", bucket_delta=bucket_delta,
+            ).write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        return {
+            "n_left": left.count(),
+            "wall_s": round(statistics.median(walls), 3),
+            "walls": walls,
+        }
+
+    out = {
+        "uniform_window": one("uniform", None),
+        "uniform_bucketed": one("uniform", delta),
+        "hot_window": one("hot", None),
+        "hot_bucketed": one("hot", delta),
+    }
+    spark.stop()
+    vol = out["hot_window"]["n_left"] / out["uniform_window"]["n_left"]
+    base = out["uniform_window"]["wall_s"]
+    ratios = {
+        "hot_window_ratio": round(out["hot_window"]["wall_s"] / base / vol, 3),
+        "hot_bucketed_ratio": round(
+            out["hot_bucketed"]["wall_s"] / base / vol, 3
+        ),
+        "uniform_bucketed_overhead": round(
+            out["uniform_bucketed"]["wall_s"] / base, 3
+        ),
+    }
+    return {
+        "metric": "asof_join_skew_overhead",
+        "value": ratios["hot_bucketed_ratio"],
+        "unit": "ratio",
+        **ratios,
+        "edge_volume_ratio": round(vol, 4),
+        "bucket_delta": delta,
+        "hot_events": hot_events,
+        "uniform_rows": n_users * events,
+        "runs_per_point": runs,
+        "cpus": cpus,
+        "sf": sf,
         "variants": out,
     }
 
@@ -820,7 +1257,22 @@ if __name__ == "__main__":
         emit(run_encode_gain(sf_dir))
     elif "--refcmp" in sys.argv:
         emit(run_refcmp())
+    elif "--skew-temporal" in sys.argv:
+        emit(run_temporal_skew(sf_dir))
     elif "--skew" in sys.argv:
         emit(run_skew(sf_dir))
+    elif "--recall" in sys.argv:
+        emit(run_recall(sf_dir))
     else:
-        emit(run_suite(sf_dir, cpus))
+        rec = run_suite(sf_dir, cpus)
+        here = os.path.dirname(os.path.abspath(__file__))
+        snap = os.path.join(here, "BENCH_SCALE_POINT.json")
+        if rec.get("bench_scale", 1) > 1:
+            # a scaled run snapshots itself so the next default-scale
+            # run (the driver's per-round record) carries BOTH points
+            with open(snap, "w") as f:
+                json.dump(_short_record(rec), f, indent=1)
+        elif os.path.exists(snap):
+            with open(snap) as f:
+                rec["scale_point"] = json.load(f)
+        emit(rec)
