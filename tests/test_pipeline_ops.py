@@ -117,6 +117,46 @@ def test_ivf_recall_grows_with_nprobe(spark):
     assert r4 > r1  # and strictly useful on this table
 
 
+def test_recall_floors_at_bench_config(spark):
+    """Regression floors for the BENCH.md recall table (bench.py
+    --recall): the bench configuration (k=10, planes=6, centroids=16)
+    on the sf0.001 embeddings, pinned ~10% under the measured values
+    so an ANN regression (hash change, probe-order bug, centroid
+    seeding drift) trips the suite, while harmless jitter cannot —
+    the pipeline is deterministic (md5 hyperplanes, order-statistic
+    centroid seeds), so any drop below these floors is a real change.
+
+    Measured 2026-08-18: lsh_fixed p8 = 0.2306, lsh_ranked p4 =
+    0.1908 (vs fixed p4 0.1704 — ranking helps at equal budget),
+    ivf np4 = 0.4658, np8 = 0.7272, np16 = 1.0 exactly."""
+    from knext_spark.pipeline import cosine_topk, ivf_ann_topk
+    from knext_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, k=10).collect()
+
+    def rec(df):
+        return _recall(df.collect(), exact)
+
+    assert rec(
+        lsh_ann_topk(emb, k=10, planes=6, probes=8, probe_rank="fixed",
+                     max_bucket=None)
+    ) >= 0.20
+    ranked4 = rec(
+        lsh_ann_topk(emb, k=10, planes=6, probes=4, probe_rank="distance",
+                     max_bucket=None)
+    )
+    fixed4 = rec(
+        lsh_ann_topk(emb, k=10, planes=6, probes=4, probe_rank="fixed",
+                     max_bucket=None)
+    )
+    assert ranked4 >= 0.17 and ranked4 >= fixed4
+    assert rec(ivf_ann_topk(emb, k=10, n_centroids=16, nprobe=4)) >= 0.42
+    assert rec(ivf_ann_topk(emb, k=10, n_centroids=16, nprobe=8)) >= 0.65
+    # nprobe = K is the exactness oracle: full probe == brute force
+    assert rec(ivf_ann_topk(emb, k=10, n_centroids=16, nprobe=16)) == 1.0
+
+
 def test_ivf_max_list_prunes_only_hot_lists(spark):
     """A tiny max_list cap must bound candidate-list size without
     touching queries whose neighbors live in small lists; pruned-list
