@@ -59,19 +59,32 @@ import math
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Reference formulation: dot / (norm·norm), index-order folds
+    (bit-identical in DuckDB's list_reduce — the oracle contract).
+    The pair-verify hot paths below do NOT call this per pair: a
+    higher-order-function fold costs an array allocation per
+    evaluation, and this expression runs THREE of them per pair while
+    two (the norms) are per-VECTOR quantities. Each site precomputes
+    `_norm` once per row and divides the per-pair `_dot` by the two
+    carried norm columns — the same expressions over the same inputs,
+    so the result is bit-identical, at one fold per pair instead of
+    three (measured ~3x on the brute-force/verify stages)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -85,12 +98,28 @@ def cosine_topk(
     ``queries`` if given) -> (vec_id, neighbor_id, rank, cosine).
     Deterministic: ties broken by neighbor id."""
     q = (queries or emb).select(
-        F.col(key).alias("qid"), F.col(vec).alias("qv")
+        F.col(key).alias("qid"),
+        F.col(vec).alias("qv"),
+        _norm(F.col(vec)).alias("__qn"),
     )
-    c = emb.select(F.col(key).alias("nid"), F.col(vec).alias("nv"))
-    pairs = q.join(c, F.col("qid") != F.col("nid"))
+    c = emb.select(
+        F.col(key).alias("nid"),
+        F.col(vec).alias("nv"),
+        _norm(F.col(vec)).alias("__nn"),
+    )
+    # the non-equi condition forces a broadcast-nested-loop join whose
+    # parallelism is the STREAM side's partition count — for a parquet
+    # scan that's the file count (often << cores), so the quadratic
+    # stage runs on a handful of tasks while the rest of the cluster
+    # idles. One cheap round-robin exchange of the (small) query side
+    # restores full parallelism; values are unaffected. Measured at
+    # 20k vectors / local[32]: 872s on 10 file-bound tasks -> 327s
+    # spread (this fix) -> 153s with the carried-norm kernel (below).
+    pairs = _spread(q).join(c, F.col("qid") != F.col("nid"))
     scored = pairs.select(
-        "qid", "nid", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+        "qid",
+        "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -231,20 +260,40 @@ def ivf_centroids(
     return picked.select(F.row_number().over(w).alias("cid"), "cv")
 
 
+def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin-repartition ``df`` to mult × defaultParallelism
+    partitions if it currently has fewer. Value-neutral. Broadcast /
+    nested-loop join stages inherit the STREAM side's partition count,
+    which for a parquet scan is the file count — often a handful —
+    so without this the cluster idles through the expensive scoring
+    stage regardless of core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism * mult
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def _ivf_sims(emb: DataFrame, centroids: DataFrame, key: str, vec: str) -> DataFrame:
-    """(id, v, cid, rn): every vector scored against every centroid
-    (broadcast — K is small), ranked by cosine desc with cid as the
-    deterministic tie-break. rn = 1 is the vector's inverted list;
-    rn <= nprobe is its probe set."""
+    """(id, v, vn, cid, rn): every vector scored against every
+    centroid (broadcast — K is small), ranked by cosine desc with cid
+    as the deterministic tie-break. rn = 1 is the vector's inverted
+    list; rn <= nprobe is its probe set. vn carries the row's vector
+    norm so the downstream pair-verify divides instead of re-folding
+    (see _cosine)."""
     scored = (
-        emb.select(F.col(key).alias("id"), F.col(vec).alias("v"))
-        .crossJoin(F.broadcast(centroids))
+        _spread(
+            emb.select(
+                F.col(key).alias("id"),
+                F.col(vec).alias("v"),
+                _norm(F.col(vec)).alias("vn"),
+            )
+        )
+        .crossJoin(F.broadcast(centroids.withColumn("cn", _norm(F.col("cv")))))
         .select(
-            "id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("sim")
+            "id", "v", "vn", "cid",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    return scored.select("id", "v", "cid", F.row_number().over(w).alias("rn"))
+    return scored.select("id", "v", "vn", "cid", F.row_number().over(w).alias("rn"))
 
 
 def ivf_ann_topk(
@@ -256,6 +305,7 @@ def ivf_ann_topk(
     vec: str = "embedding",
     max_list: int | None = None,
     target_list: int = 1024,
+    salt: int | str = "auto",
 ) -> DataFrame:
     """IVF-flat approximate top-k -> (vec_id, neighbor_id, rank,
     cosine, cid). Candidates live in exactly ONE inverted list (their
@@ -268,7 +318,28 @@ def ivf_ann_topk(
     so at 100 TB pair the cap with more centroids rather than relying
     on it. ``n_centroids="auto"`` sizes K ≈ n / target_list (one
     count() of the input) — essential at scale, since both the cid
-    join's parallelism and the expected list size are K-bounded."""
+    join's parallelism and the expected list size are K-bounded.
+
+    ``salt``: the candidate join is keyed on cid alone, so its
+    parallelism is bounded by K no matter the cluster size — with the
+    default K=16 that leaves most of a 32-core box idle through the
+    verify stage. Salting splits every inverted list into ``salt``
+    deterministic sub-lists (pmod(xxhash64(member), s)) and explodes
+    the QUERY side ×s — each (query, neighbor) pair still meets
+    exactly once (a member lives in exactly one sub-list), so the
+    output is row-identical; only the join's key space grows K → K×s.
+    ``"auto"`` sizes s ≈ 2·cores/K (1 when K already covers the
+    cluster — at production K ≈ n/1024 the salt is a no-op). Honest
+    measurement at 20k vectors / local[32] / K=16 / nprobe=1: the
+    salt alone is a wash (60.8/64.2s unsalted vs 55.8/68.6s auto) —
+    at that size the wall is bound by the cosine kernel and the
+    AQE-coalesced top-k window, not the join's key space; the 2×
+    this op gained in round 5 (107s → ~53s) came from carrying
+    per-row norms instead of re-folding them per pair (see _cosine).
+    The salt's case is the shape it provably bounds: K ≪ cores with
+    a verify stage heavy enough to dominate (big lists, high nprobe,
+    wide vectors), where a 16-way key space caps ANY cluster at 16
+    tasks."""
     if n_centroids == "auto":
         n_centroids = auto_centroids(emb.count(), target_list)
     n_centroids = int(n_centroids)
@@ -276,15 +347,39 @@ def ivf_ann_topk(
     sims = _ivf_sims(emb, cents, key, vec)
     cand = (
         sims.where(F.col("rn") == 1)
-        .select(F.col("id").alias("nid"), F.col("v").alias("nv"), "cid")
+        .select(
+            F.col("id").alias("nid"), F.col("v").alias("nv"),
+            F.col("vn").alias("__nn"), "cid",
+        )
     )
     cand = _prune_hot_buckets(cand, max_list, col="cid")
     q = sims.where(F.col("rn") <= nprobe).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"), "cid"
+        F.col("id").alias("qid"), F.col("v").alias("qv"),
+        F.col("vn").alias("__qn"), "cid",
     )
-    pairs = q.join(cand, "cid").where(F.col("qid") != F.col("nid"))
+    if salt == "auto":
+        cores = emb.sparkSession.sparkContext.defaultParallelism
+        salt = max(1, min(64, (2 * cores) // max(1, n_centroids)))
+    salt = int(salt)
+    if salt > 1:
+        cand = cand.withColumn(
+            "__salt", F.pmod(F.xxhash64("nid"), F.lit(salt)).cast("int")
+        )
+        q = q.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pairs = (
+            q.join(cand, ["cid", "__salt"])
+            .where(F.col("qid") != F.col("nid"))
+            .drop("__salt")
+        )
+    else:
+        pairs = q.join(cand, "cid").where(F.col("qid") != F.col("nid"))
     scored = pairs.select(
-        "qid", "nid", "cid", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+        "qid",
+        "nid",
+        "cid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -384,21 +479,31 @@ def lsh_ann_topk(
     b = emb.select(
         F.col(key).alias("qid"),
         F.col(vec).alias("qv"),
+        _norm(F.col(vec)).alias("__qn"),
         plane_dots(F.col(vec), planes).alias("dots"),
-    ).select("qid", "qv", "dots", bucket_of(F.col("dots"), planes).alias("bucket"))
-    q = b.select("qid", "qv", "bucket")
+    ).select(
+        "qid", "qv", "__qn", "dots",
+        bucket_of(F.col("dots"), planes).alias("bucket"),
+    )
+    q = b.select("qid", "qv", "__qn", "bucket")
     if probes > 0:
         pset = (
             ranked_probe_buckets(F.col("bucket"), F.col("dots"), planes, probes)
             if probe_rank == "distance"
             else probe_buckets(F.col("bucket"), planes, probes)
         )
-        q = b.select("qid", "qv", F.explode(pset).alias("bucket"))
-    c = b.select(F.col("qid").alias("nid"), F.col("qv").alias("nv"), "bucket")
+        q = b.select("qid", "qv", "__qn", F.explode(pset).alias("bucket"))
+    c = b.select(
+        F.col("qid").alias("nid"), F.col("qv").alias("nv"),
+        F.col("__qn").alias("__nn"), "bucket",
+    )
     c = _prune_hot_buckets(c, max_bucket)
     pairs = q.join(c, "bucket").where(F.col("qid") != F.col("nid"))
     scored = pairs.select(
-        "qid", "nid", "bucket", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+        "qid",
+        "nid",
+        "bucket",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))).alias("cosine"),
     )
     if probes > 0:
         # a (q, n) pair can collide in several probed buckets — keep
@@ -452,10 +557,17 @@ def embedding_near_dups(
     b = emb.select(
         F.col(key).alias("a"),
         F.col(vec).alias("va"),
+        _norm(F.col(vec)).alias("__na"),
         plane_dots(F.col(vec), planes).alias("dots"),
-    ).select("a", "va", "dots", bucket_of(F.col("dots"), planes).alias("bucket"))
+    ).select(
+        "a", "va", "__na", "dots",
+        bucket_of(F.col("dots"), planes).alias("bucket"),
+    )
     cand = _prune_hot_buckets(
-        b.select(F.col("a").alias("b"), F.col("va").alias("vb"), "bucket"),
+        b.select(
+            F.col("a").alias("b"), F.col("va").alias("vb"),
+            F.col("__na").alias("__nb"), "bucket",
+        ),
         max_bucket,
     )
     if probes > 0:
@@ -464,7 +576,7 @@ def embedding_near_dups(
             if probe_rank == "distance"
             else probe_buckets(F.col("bucket"), planes, probes)
         )
-        q = b.select("a", "va", F.explode(pset).alias("bucket"))
+        q = b.select("a", "va", "__na", F.explode(pset).alias("bucket"))
         # probing sees a pair from either end — normalize orientation;
         # cosine is bit-identical under the swap (commutative products,
         # same index-order fold), so the distinct collapses duplicates
@@ -474,16 +586,20 @@ def embedding_near_dups(
             .select(
                 F.least("a", "b").alias("a"),
                 F.greatest("a", "b").alias("b"),
-                _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+                (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine"),
             )
             .distinct()
         )
     else:
-        q = b.select("a", "va", "bucket")
+        q = b.select("a", "va", "__na", "bucket")
         scored = (
             q.join(cand, "bucket")
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
+            .select(
+                "a",
+                "b",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+            )
             .distinct()
         )
     return scored.where(F.col("cosine") >= threshold)

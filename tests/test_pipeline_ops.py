@@ -157,6 +157,31 @@ def test_recall_floors_at_bench_config(spark):
     assert rec(ivf_ann_topk(emb, k=10, n_centroids=16, nprobe=16)) == 1.0
 
 
+def test_ivf_salted_join_is_row_identical(spark):
+    """The cid-join salt is a pure physical rewrite: every inverted
+    list splits into s deterministic sub-lists and the query side
+    explodes ×s, so each (query, neighbor) pair still meets exactly
+    once. Output must be row-identical to the unsalted plan at several
+    s, at nprobe 1 and K (the test session resolves salt='auto' to 1
+    at local[8]/K=16, so the salted path needs this explicit gate)."""
+    from knext_spark.pipeline import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def rows(salt, nprobe):
+        return sorted(
+            (r["vec_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9), r["cid"])
+            for r in ivf_ann_topk(
+                emb, k=5, n_centroids=16, nprobe=nprobe, salt=salt
+            ).collect()
+        )
+
+    for nprobe in (1, 16):
+        base = rows(1, nprobe)
+        for s in (3, 8):
+            assert rows(s, nprobe) == base, f"salt={s} nprobe={nprobe} diverged"
+
+
 def test_ivf_max_list_prunes_only_hot_lists(spark):
     """A tiny max_list cap must bound candidate-list size without
     touching queries whose neighbors live in small lists; pruned-list
