@@ -1269,9 +1269,12 @@ if __name__ == "__main__":
         snap = os.path.join(here, "BENCH_SCALE_POINT.json")
         if rec.get("bench_scale", 1) > 1:
             # a scaled run snapshots itself so the next default-scale
-            # run (the driver's per-round record) carries BOTH points
+            # run (the driver's per-round record) carries BOTH points;
+            # recorded_at makes a stale snapshot visible in the record
+            short = _short_record(rec)
+            short["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
             with open(snap, "w") as f:
-                json.dump(_short_record(rec), f, indent=1)
+                json.dump(short, f, indent=1)
         elif os.path.exists(snap):
             with open(snap) as f:
                 rec["scale_point"] = json.load(f)
