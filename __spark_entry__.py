@@ -407,6 +407,27 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_refined(spark, sf_dir):
+    """IVF with two deterministic Lloyd refinement iterations
+    (similarity.ivf_centroids refine=2): assignment argmax + exact
+    micros-int cluster means, so every step — and therefore the whole
+    trained index — is reproduced bit-exactly by the unrolled
+    materialized-CTE oracle. Same probe/re-rank shape as ann_ivf."""
+    from knext_spark.pipeline import ivf_ann_topk
+
+    out = ivf_ann_topk(
+        _read(spark, sf_dir, "embeddings"), k=3, n_centroids=16, nprobe=2,
+        refine=2,
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _micros(F.col("cosine")).alias("cosine_micros"),
+        F.col("cid").cast("long").alias("cid"),
+    )
+
+
 def q_lsh_ann_buckets(spark, sf_dir):
     from knext_spark.pipeline.similarity import lsh_bucket
 
@@ -735,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_refined": q_ann_ivf_refined,
         "lsh_ann_buckets": q_lsh_ann_buckets,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_multiprobe_ranked": q_ann_multiprobe_ranked,
@@ -1325,6 +1347,85 @@ select doc_id, pathway, entry1, entry2, type, value, name from wo
 """
 
 
+def _ivf_refined_sql(
+    refine: int, nprobe: int = 2, k: int = 3, n_centroids: int = 16
+) -> str:
+    """Unrolled Lloyd iterations as materialized CTEs (MATERIALIZED is
+    load-bearing: DuckDB inlines CTEs per reference, so an unrolled
+    chain would otherwise re-evaluate exponentially). Each step is the
+    bit-exact twin of similarity._lloyd_step: argmax-cosine assignment
+    (sim desc, cid asc), micros-int component sums (exact and
+    order-independent on both engines), mean = s / n / 1e6 in the same
+    association, empty clusters keep the previous centroid."""
+    steps = [
+        f"""
+        cents0 as materialized (
+          select row_number() over (order by h, ck) as cid,
+                 list_transform(cv, x -> x::double) as cv
+          from (select md5(cast(vec_id as varchar)) as h, vec_id as ck,
+                       embedding as cv
+                from embeddings order by h, ck limit {n_centroids})
+        )"""
+    ]
+    for i in range(refine):
+        steps.append(
+            f"""
+        asg{i} as materialized (
+          select id, v, cid from (
+            select id, v, cid,
+                   row_number() over (partition by id order by sim desc, cid asc) as rn
+            from (
+              select e.vec_id as id, e.embedding as v, c.cid,
+                     {_COS.format(a="e.embedding", b="c.cv")} as sim
+              from embeddings e cross join cents{i} c
+            )
+          ) where rn = 1
+        ),
+        mean{i} as (
+          select cid, pos, sum(q) / count(*) / 1000000.0 as m
+          from (
+            select cid,
+                   unnest(range(1, len(v)+1)) as pos,
+                   cast(floor(unnest(v)::double * 1000000 + 0.5) as bigint) as q
+            from asg{i}
+          ) group by cid, pos
+        ),
+        cents{i + 1} as materialized (
+          select c.cid, coalesce(n.cv, c.cv) as cv
+          from cents{i} c
+          left join (select cid, list(m order by pos) as cv
+                     from mean{i} group by cid) n using (cid)
+        )"""
+        )
+    final = f"cents{refine}"
+    return f"""
+        with {",".join(steps)},
+        sims as (
+          select e.vec_id as id, e.embedding as v, c.cid,
+                 {_COS.format(a="e.embedding", b="c.cv")} as sim
+          from embeddings e cross join {final} c
+        ),
+        ranked as (
+          select id, v, cid,
+                 row_number() over (partition by id order by sim desc, cid asc) as rn
+          from sims
+        ),
+        cand as (select id as nid, v as nv, cid from ranked where rn = 1),
+        probe as (select id as qid, v as qv, cid from ranked where rn <= {nprobe}),
+        pairs as (
+          select qid, nid, cid, {_COS.format(a="qv", b="nv")} as cosine
+          from probe join cand using (cid) where qid <> nid
+        )
+        select vec_id, neighbor_id, rank, cosine_micros, cid from (
+          select qid as vec_id, nid as neighbor_id,
+                 row_number() over (partition by qid order by cosine desc, nid asc) as rank,
+                 cast(floor(cosine * 1000000 + 0.5) as bigint) as cosine_micros,
+                 cast(cid as bigint) as cid
+          from pairs
+        ) where rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edge = _EDGE_SQL
     return {
@@ -1493,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
               from pairs
             ) where rank <= 3
         """,
+        "ann_ivf_refined": _ivf_refined_sql(2),
         "lsh_ann_buckets": f"""
             select {_bucket_sql(4)} as bucket, count(*) as n
             from embeddings group by 1

@@ -240,13 +240,28 @@ def ivf_centroids(
     n_centroids: int = 16,
     key: str = "vec_id",
     vec: str = "embedding",
+    refine: int = 0,
 ) -> DataFrame:
     """(cid, cv): deterministic seed centroids — the ``n_centroids``
     vectors with the smallest md5(key), ids assigned in that order.
     Selection is a distributed TakeOrdered (orderBy + limit pushes a
     per-partition top-K, never a full sort); the row_number window
     then runs over only the K surviving rows, so its single-partition
-    plan is K-bounded, not corpus-bounded."""
+    plan is K-bounded, not corpus-bounded.
+
+    ``refine``: number of Lloyd (k-means) iterations over the seeds.
+    Each iteration assigns every vector to its nearest centroid (the
+    same argmax-cosine rule _ivf_sims uses to build lists, cid-asc
+    tie-break) and re-centers each cluster on the member mean; empty
+    clusters keep their previous centroid. The mean is computed over
+    micros-quantized int64 components (the repo's floor(x·1e6 + 0.5)
+    convention), so the per-cluster SUM is exact and ORDER-INDEPENDENT
+    — bit-identical across retries, partitionings, and the DuckDB
+    oracle; a float sum would be none of those. Cost per iteration:
+    one K-way broadcast scoring pass + one (cid, dim)-keyed aggregate
+    (map-side combinable; dim×K result rows), both linear in n — the
+    classic IVF training trade: spend iterations once to earn recall
+    at every query."""
     picked = (
         emb.select(
             F.md5(F.col(key).cast("string").cast("binary")).alias("h"),
@@ -257,7 +272,45 @@ def ivf_centroids(
         .limit(n_centroids)
     )
     w = Window.orderBy("h", "ck")
-    return picked.select(F.row_number().over(w).alias("cid"), "cv")
+    cents = picked.select(F.row_number().over(w).alias("cid"), "cv")
+    for _ in range(int(refine)):
+        cents = _lloyd_step(emb, cents, key, vec)
+    return cents
+
+
+def _lloyd_step(emb: DataFrame, cents: DataFrame, key: str, vec: str) -> DataFrame:
+    """One deterministic k-means step: argmax-cosine assignment, then
+    the exact micros-int mean per (cid, dim) — see ivf_centroids."""
+    assigned = (
+        _ivf_sims(emb, cents, key, vec)
+        .where(F.col("rn") == 1)
+        .select("cid", "v")
+    )
+    comp = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+    means = (
+        comp.select(
+            "cid",
+            "pos",
+            F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("cid", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "cid", "pos", (F.col("s") / F.col("n") / F.lit(1e6)).alias("m")
+        )
+    )
+    new = (
+        means.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda x: x["m"]).alias("cv"))
+    )
+    return (
+        cents.select("cid", F.col("cv").cast("array<double>").alias("__old"))
+        .join(new, "cid", "left")
+        .select("cid", F.coalesce("cv", "__old").alias("cv"))
+    )
 
 
 def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
@@ -306,6 +359,7 @@ def ivf_ann_topk(
     max_list: int | None = None,
     target_list: int = 1024,
     salt: int | str = "auto",
+    refine: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k -> (vec_id, neighbor_id, rank,
     cosine, cid). Candidates live in exactly ONE inverted list (their
@@ -343,7 +397,7 @@ def ivf_ann_topk(
     if n_centroids == "auto":
         n_centroids = auto_centroids(emb.count(), target_list)
     n_centroids = int(n_centroids)
-    cents = ivf_centroids(emb, n_centroids, key, vec)
+    cents = ivf_centroids(emb, n_centroids, key, vec, refine=refine)
     sims = _ivf_sims(emb, cents, key, vec)
     cand = (
         sims.where(F.col("rn") == 1)

@@ -157,6 +157,44 @@ def test_recall_floors_at_bench_config(spark):
     assert rec(ivf_ann_topk(emb, k=10, n_centroids=16, nprobe=16)) == 1.0
 
 
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """Deterministic Lloyd refinement (ivf_centroids refine=N) must
+    buy recall over the raw order-statistic seeds, and must not break
+    the nprobe=K exactness oracle (full probe scans every list no
+    matter where the centroids sit). Measured on this table (k=10,
+    K=16, nprobe=2): refine 0/1/2/3 -> 0.3024/0.3452/0.3496/0.3634;
+    at sf0.01 the same sweep gives 0.2768 -> 0.3554. The floor is
+    pinned under the refine=2 value with margin."""
+    from knext_spark.pipeline import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, k=10).collect()
+
+    def rec(refine, nprobe=2):
+        return _recall(
+            ivf_ann_topk(
+                emb, k=10, n_centroids=16, nprobe=nprobe, refine=refine
+            ).collect(),
+            exact,
+        )
+
+    r0, r2 = rec(0), rec(2)
+    assert r2 > r0  # training helps on this table
+    assert r2 >= 0.32  # pinned floor (measured 0.3496)
+    # exactness invariant survives training: full probe == brute force
+    got = {
+        (r["vec_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk(
+            emb, k=3, n_centroids=8, nprobe=8, refine=2
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    assert got == want
+
+
 def test_ivf_salted_join_is_row_identical(spark):
     """The cid-join salt is a pure physical rewrite: every inverted
     list splits into s deterministic sub-lists and the query side
