@@ -73,6 +73,29 @@ def _micros(c) -> F.Column:
     return F.floor(c * 1000000 + F.lit(0.5)).cast("long")
 
 
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def _split_sql(fractions: dict[str, float] = _SPLITS) -> str:
+    """CASE expression built from the SAME cut strings the engine uses
+    (pipeline/splits._thresholds) — one source of truth for both
+    sides; fixed-length lowercase hex compares lexicographically like
+    its numeric value, so no float arithmetic on either side."""
+    from knext_spark.pipeline.splits import _thresholds
+
+    cuts = _thresholds(fractions)
+    whens = "\n                   ".join(
+        f"when substr(md5(text), 1, 8) < '{bound}' then '{name}'"
+        for name, bound in cuts[:-1]
+    )
+    return f"""
+            select doc_id,
+                   case {whens}
+                        else '{cuts[-1][0]}' end as split
+            from documents
+        """
+
+
 def _edge_table(spark: SparkSession, sf_dir: str, mod: int = 1000) -> DataFrame:
     """Deterministic graph derived from lineitem: src/dst in a shared
     mod-``mod`` id space (triangle-bearing, hub-skewed). ``mod`` varies
@@ -284,6 +307,19 @@ def q_token_count(spark, sf_dir):
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
         F.col("re_tokens").cast("long").alias("re_tokens"),
         F.col("chars").cast("long").alias("chars"),
+    )
+
+
+def q_deterministic_split(spark, sf_dir):
+    """Content-hash train/valid/test assignment (pipeline/splits.py):
+    lexicographic comparison of md5-hex prefixes against precomputed
+    hex cut strings — no float arithmetic, so Spark and DuckDB agree
+    row-for-row. Keyed on text: exact duplicates land in one split."""
+    from knext_spark.pipeline import deterministic_split
+
+    d = _read(spark, sf_dir, "documents")
+    return deterministic_split(d, key_col="text", fractions=_SPLITS).select(
+        "doc_id", "split"
     )
 
 
@@ -643,6 +679,30 @@ def q_k_core(spark, sf_dir):
     return k_core(_edge_table(spark, sf_dir), k=3)
 
 
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs & authorities (tol=0, K pinned to
+    _PR_ITERS) so the unrolled DuckDB oracle computes the identical K
+    Kleinberg power-iteration steps — max-normalized per step,
+    sum-normalized at return, deterministic cross-engine at micros
+    precision (same float-boundary caveat as _pagerank_sql)."""
+    from knext_spark.graph import hits
+
+    res = hits(
+        spark,
+        _edge_table(spark, sf_dir),
+        tol=0.0,
+        max_iter=_PR_ITERS,
+        checkpoint_dir=tempfile.mkdtemp(prefix="q_hits_"),
+        run_id="q",
+        cadence=50,
+    )
+    return res.state.select(
+        "node",
+        _micros(F.col("hub")).alias("hub_micros"),
+        _micros(F.col("auth")).alias("auth_micros"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join, self-temporal: every event gets the user's
     most recent signup event at-or-before its timestamp (union+window
@@ -744,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "lookup_fallback": q_lookup_fallback,
         "token_count": q_token_count,
+        "deterministic_split": q_deterministic_split,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -765,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "kgml_edges": q_kgml_edges,
@@ -1009,6 +1071,55 @@ def _pagerank_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
     r0 as materialized (select node, cast(1.0 as double) / (select n from nn) as rank from nodes),
     {",".join(its)}
     select node, cast(floor(rank * 1000000 + 0.5) as bigint) as rank_micros from r{k}
+    """
+
+
+def _hits_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
+    """Unrolled K-step Kleinberg power iteration mirroring
+    knext_spark.graph.hits op-for-op: a_raw = h^T A then h_raw = A
+    a_raw (from the UN-normalized a_raw), each vector max-normalized
+    per step, both sum-normalized at the end — same operation
+    STRUCTURE, each engine's own summation order, so micros equality
+    additionally relies on no value landing within ~1e-10 of a .5
+    micro-rounding boundary (the _pagerank_sql caveat; a disagreement
+    here would indicate a boundary hit, not an algorithmic
+    divergence)."""
+    its = []
+    for i in range(1, k + 1):
+        p = i - 1
+        # AS MATERIALIZED is load-bearing: DuckDB inlines CTEs per
+        # reference, and each step references its predecessors more
+        # than once — without materialization the unrolled chain
+        # re-evaluates exponentially
+        its.append(f"""
+    ar{i} as materialized (
+      select e.dst as node, sum(h{p}.hub * e.weight) as v
+      from e join h{p} on h{p}.node = e.src group by e.dst
+    ),
+    hr{i} as materialized (
+      select e.src as node, sum(ar{i}.v * e.weight) as v
+      from e join ar{i} on ar{i}.node = e.dst group by e.src
+    ),
+    a{i} as materialized (
+      select nodes.node,
+             coalesce(ar{i}.v, cast(0.0 as double)) / (select max(v) from ar{i}) as auth
+      from nodes left join ar{i} on ar{i}.node = nodes.node
+    ),
+    h{i} as materialized (
+      select nodes.node,
+             coalesce(hr{i}.v, cast(0.0 as double)) / (select max(v) from hr{i}) as hub
+      from nodes left join hr{i} on hr{i}.node = nodes.node
+    )""")
+    return f"""
+    with e as materialized (select src, dst, cast(1.0 as double) as weight from ({edge_sql})),
+    nodes as materialized (select src as node from e union select dst as node from e),
+    nn as materialized (select count(*) as n from nodes),
+    h0 as materialized (select node, cast(1.0 as double) / (select n from nn) as hub from nodes),
+    {",".join(its)}
+    select h{k}.node,
+           cast(floor(h{k}.hub / (select sum(hub) from h{k}) * 1000000 + 0.5) as bigint) as hub_micros,
+           cast(floor(a{k}.auth / (select sum(auth) from a{k}) * 1000000 + 0.5) as bigint) as auth_micros
+    from h{k} join a{k} on a{k}.node = h{k}.node
     """
 
 
@@ -1520,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "quality_score": _quality_sql(),
+        "deterministic_split": _split_sql(),
         "lang_id": _lang_sql(),
         "doc_fingerprint": f"""
             select doc_id,
@@ -1693,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_sql(8),
         "pagerank": _pagerank_sql(_PR_ITERS),
+        "hits": _hits_sql(_PR_ITERS),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(10),
         # kgml_edges (genes mode, propagate='faithful'): rows-only —

@@ -230,6 +230,42 @@ def _build_scaled_sf(spark, sf_dir: str, k: int) -> str:
     return out_dir
 
 
+def _hits_throughput(spark, edges, steps=8):
+    """Fixed-superstep HITS run (tol=0): deterministic workload for a
+    run-to-run-comparable rate. NOTE one HITS superstep makes TWO edge
+    passes (hub→authority and authority→hub probes), so its
+    edges_per_sec counts 2·|E| contributions per superstep."""
+    from knext_spark.graph import hits
+
+    n_edges = edges.count()
+    t0 = time.time()
+    res = hits(
+        spark,
+        edges,
+        tol=0.0,
+        max_iter=steps,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bench_hits_"),
+        run_id="bench",
+        cadence=50,
+    )
+    res.state.count()
+    wall = time.time() - t0
+    walls = [
+        m["wall_s"]
+        for m in res.metrics
+        if m.get("iteration", 0) >= 2 and "wall_s" in m
+    ]
+    steady = sum(walls) if walls else wall
+    steady_iters = len(walls) or res.iterations
+    return {
+        "wall_s": wall,
+        "supersteps": res.iterations,
+        "n_edges": n_edges,
+        "supersteps_per_sec": steady_iters / steady,
+        "edges_per_sec": steady_iters * 2 * n_edges / steady,
+    }
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     """Each query is repeated SPARK_GRAFT_BENCH_RUNS times (default 3,
     fresh DataFrame each rep so planning cost is included); reported
@@ -306,6 +342,17 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             "kgml_triangles",
             lambda: triangle_count(edges).agg(F.sum("triangles")).collect(),
         )
+
+    hits_runs = [_hits_throughput(spark, edges) for _ in range(runs)]
+    hits_walls = [round(h["wall_s"], 3) for h in hits_runs]
+    ht = sorted(hits_runs, key=lambda h: h["wall_s"])[len(hits_runs) // 2]
+    timings["kgml_hits"] = round(ht["wall_s"], 3)
+    spread["kgml_hits"] = {
+        "runs": hits_walls, "min": min(hits_walls), "max": max(hits_walls)
+    }
+    extras["hits_supersteps"] = ht["supersteps"]
+    extras["hits_supersteps_per_sec"] = round(ht["supersteps_per_sec"], 3)
+    extras["hits_edge_contribs_per_sec"] = round(ht["edges_per_sec"], 1)
     edges.unpersist()
 
     suite = [

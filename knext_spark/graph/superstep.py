@@ -27,6 +27,30 @@ in this sandbox it is a local path. Cadence is 1 (every superstep) per
 the north rule; ``cadence=k`` trades resumability granularity for I/O,
 using ``localCheckpoint`` (executor-memory lineage truncation, not
 fault-tolerant) for intermediate supersteps.
+
+CADENCE > 1 HAZARD — inherited-statistics blowup (Spark 4, found
+round 5): ``Dataset.checkpoint``/``localCheckpoint`` copies the origin
+plan's estimated statistics onto the resulting LogicalRDD
+(``LogicalRDD.rewriteStatsAndConstraints``), and a join's
+``sizeInBytes`` is the PRODUCT of its children's. A superstep whose
+new state joins k state-derived frames therefore raises the inherited
+sizeInBytes to the k-th power per lazily-chained superstep — the
+BigInt's DIGIT COUNT grows geometrically and the driver eventually
+dies inside ``BigInteger.multiply`` (reproduced: a 3-edge graph OOMs a
+1 GB driver in ~25 chained supersteps). Parquet commits reset stats
+from real file sizes, so cadence=1 is always safe. Per algorithm:
+
+- pagerank, hits: state multiplies by a CONSTANT per step (edges ×
+  state once for pagerank; hits' state update was restructured to
+  union+sum, whose stats ADD — see graph/hits.py) — digit growth
+  linear, any cadence safe;
+- lpa (labels ⋈ best(labels)): digit count DOUBLES per lazy step —
+  safe to roughly a dozen chained supersteps (default cadence=1);
+- cc (two star passes, each state ⋈ min(state)): digit count ×4 per
+  lazy step — keep cadence small (CC converges in O(log V) rounds;
+  bench's cadence=10 over ≤7 rounds reaches ~10^5-digit BigInts,
+  measured fine but near the useful ceiling);
+- k_core (state ⋈ degrees(state) twice): like cc; default cadence=1.
 """
 
 from __future__ import annotations

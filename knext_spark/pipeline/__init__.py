@@ -36,6 +36,11 @@ from knext_spark.pipeline.dedup import (  # noqa: F401
     shingles_col,
 )
 from knext_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
+from knext_spark.pipeline.splits import (  # noqa: F401
+    deterministic_sample,
+    deterministic_split,
+    split_col,
+)
 from knext_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     hot_buckets,

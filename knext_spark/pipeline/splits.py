@@ -1,0 +1,92 @@
+"""Deterministic dataset splitting & sampling by content hash.
+
+A 100 TB training pipeline needs train/valid/test assignment that is
+(a) reproducible run-to-run and cluster-size-independent (``F.rand``
+is neither), (b) stable under re-ingestion (a document keeps its split
+when the corpus is rebuilt), and (c) free — a projection, no shuffle,
+no state. The standard construction: hash a stable key (the content
+itself, or a document id), map the hash into [0, 1), and cut at the
+cumulative split fractions.
+
+Implementation detail that makes the DuckDB oracle bit-exact: the
+split decision compares the first 8 lowercase-hex chars of
+``md5(key)`` LEXICOGRAPHICALLY against precomputed 8-hex-digit
+threshold strings. Fixed-length lowercase hex compares identically to
+its numeric value ('0' < '9' < 'a' < 'f' in ASCII), Spark and DuckDB
+produce the same md5 hex for the same bytes, and no float arithmetic
+is involved anywhere — so the engine column and the oracle's CASE
+expression agree on every row at any scale.
+
+Scale: pure Catalyst (whole-stage codegen), zero shuffle, zero UDF;
+the predicate pushes down to the scan when used as a filter
+(``deterministic_sample``). The reference has no sampling/splitting
+surface (SURVEY.md §2.5) — engine-mandate operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPACE = 16**8  # first 8 hex chars of the md5 digest
+
+
+def _hash_prefix(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 8)
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, exclusive upper bound as 8-hex-digit string)] in
+    declaration order; the last split absorbs any rounding residue."""
+    total = sum(fractions.values())
+    if not fractions or total <= 0:
+        raise ValueError("fractions must be a non-empty dict of positive weights")
+    out, cum = [], 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        if frac < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        cum += frac / total
+        out.append((name, format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x")))
+    out.append((items[-1][0], "g" * 8))  # 'g' > 'f': catches everything
+    return out
+
+
+def split_col(key: Column, fractions: dict[str, float]) -> Column:
+    """The split-assignment expression alone (composable into any
+    projection/filter)."""
+    prefix = _hash_prefix(key)
+    cuts = _thresholds(fractions)
+    expr = F.lit(cuts[-1][0])
+    for name, bound in reversed(cuts[:-1]):
+        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label from ``fractions``
+    (weights normalized; e.g. {"train": 0.9, "valid": 0.05,
+    "test": 0.05}). Keyed on ``key_col`` — key on content for
+    leakage-safe splits (exact duplicates land in the same split), on
+    a document id for content-independent ones."""
+    if fractions is None:
+        fractions = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_col(F.col(key_col), fractions))
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "text"
+) -> DataFrame:
+    """Keep a stable ~``rate`` fraction of rows (same row set on every
+    run and at every cluster size, unlike ``DataFrame.sample``). A
+    filter, so Catalyst pushes it toward the scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    if rate == 1.0:
+        return df
+    bound = format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+    return df.where(_hash_prefix(F.col(key_col)) < F.lit(bound))

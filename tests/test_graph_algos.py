@@ -562,3 +562,138 @@ def test_k_core_resume_identical(spark, tmp_path):
     assert got == want
     G = nx.Graph(e)
     assert want == dict(nx.k_core(G, 2).degree())
+
+
+# ---------------------------------------------------------------- HITS
+
+from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+# same story as _pagerank_python above: nx.hits' default backend needs
+# scipy (absent here); _hits_python is NetworkX's own shipped classic
+# Kleinberg power iteration — the recurrence knext_spark.graph.hits
+# pins to (see its module docstring).
+nx_hits = _hits_python
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_hits_vs_networkx(spark, tmp_path, gname):
+    from knext_spark.graph import hits
+
+    pairs = GRAPHS[gname]
+    dedup = list(dict.fromkeys(pairs))  # nx.DiGraph parity (see pagerank test)
+    G = nx.DiGraph()
+    G.add_edges_from(dedup)
+    want_h, want_a = nx_hits(G, max_iter=500, tol=1e-8)
+
+    res = hits(
+        spark,
+        _edge_df(spark, dedup),
+        tol=1e-8,
+        max_iter=500,
+        checkpoint_dir=str(tmp_path / gname),
+        run_id="t",
+        cadence=25,
+    )
+    assert res.converged
+    got_h = {r["node"]: r["hub"] for r in res.state.collect()}
+    got_a = {r["node"]: r["auth"] for r in res.state.collect()}
+    assert set(got_h) == set(want_h)
+    keys = sorted(want_h)
+    assert np.allclose(
+        [got_h[k] for k in keys], [want_h[k] for k in keys], atol=1e-6
+    ), gname
+    assert np.allclose(
+        [got_a[k] for k in keys], [want_a[k] for k in keys], atol=1e-6
+    ), gname
+
+
+def test_hits_weighted_and_encoded(spark, tmp_path):
+    from knext_spark.graph import hits
+
+    weighted = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 0.5), ("d", "a", 4.0), ("d", "b", 1.0),
+        ("e", "c", 2.5), ("b", "e", 1.5),
+    ]
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(weighted)
+    want_h, want_a = nx_hits(G, max_iter=500, tol=1e-8)
+
+    df = spark.createDataFrame(
+        weighted, "src string, dst string, weight double"
+    )
+    keys = sorted(want_h)
+    for run, enc in [("plain", False), ("encoded", True)]:
+        res = hits(
+            spark,
+            df,
+            tol=1e-8,
+            max_iter=500,
+            checkpoint_dir=str(tmp_path / run),
+            run_id=run,
+            cadence=25,
+            encode_ids=enc,
+        )
+        got = {r["node"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+        assert np.allclose(
+            [got[k][0] for k in keys], [want_h[k] for k in keys], atol=1e-6
+        ), run
+        assert np.allclose(
+            [got[k][1] for k in keys], [want_a[k] for k in keys], atol=1e-6
+        ), run
+
+
+def test_hits_resume_identical(spark, tmp_path):
+    from knext_spark.graph import hits
+
+    # hub converges in ~12 supersteps — enough to kill/resume across
+    # while keeping the commit-per-superstep (cadence=1) cost bounded
+    pairs = list(dict.fromkeys(GRAPHS["hub"]))
+    full = hits(
+        spark, _edge_df(spark, pairs), checkpoint_dir=str(tmp_path / "f"), run_id="r"
+    )
+    # simulate a kill after superstep 3: run capped, then resume
+    part = hits(
+        spark,
+        _edge_df(spark, pairs),
+        checkpoint_dir=str(tmp_path / "p"),
+        run_id="r",
+        max_iter=3,
+    )
+    assert not part.converged
+    resumed = hits(
+        spark,
+        _edge_df(spark, pairs),
+        checkpoint_dir=str(tmp_path / "p"),
+        run_id="r",
+        resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    a = {r["node"]: (r["hub"], r["auth"]) for r in full.state.collect()}
+    b = {r["node"]: (r["hub"], r["auth"]) for r in resumed.state.collect()}
+    keys = sorted(a)
+    assert np.allclose(
+        [a[k] for k in keys], [b[k] for k in keys], atol=1e-12
+    )
+
+
+def test_hits_fixed_iteration_mode(spark, tmp_path):
+    from knext_spark.graph import hits
+
+    pairs = list(dict.fromkeys(GRAPHS["hub"]))
+    res = hits(
+        spark,
+        _edge_df(spark, pairs),
+        tol=0.0,
+        max_iter=4,
+        checkpoint_dir=str(tmp_path / "fx"),
+        run_id="fx",
+        cadence=10,
+    )
+    assert not res.converged
+    assert res.iterations == 4
+    rows = res.state.collect()
+    # both vectors sum-normalized on return
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9

@@ -633,3 +633,67 @@ def test_hot_buckets_reports_example_members(spark):
     assert len(rows) == 1
     (h,) = rows
     assert h["size"] == 8 and h["min_key"] == 0 and h["max_key"] == 7
+
+
+# ------------------------------------------------- deterministic splits
+def test_deterministic_split_properties(spark):
+    from knext_spark.pipeline import deterministic_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = deterministic_split(docs, key_col="text")
+    rows = out.select("doc_id", "text", "split").collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], []).append(r)
+    # every row labeled, only the three configured labels
+    assert sum(len(v) for v in by.values()) == n
+    assert set(by) <= {"train", "valid", "test"}
+    # fractions land near the configured 90/5/5 (md5 is uniform; the
+    # sf0.001 corpus is small so the tolerance is generous)
+    assert abs(len(by["train"]) / n - 0.9) < 0.05
+    # stability: a second invocation assigns identically (no rand())
+    again = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, key_col="text").collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    # leakage safety: duplicate content always lands in the same split
+    dup = spark.createDataFrame(
+        [(1, "same words"), (2, "same words"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["split"] for r in deterministic_split(dup).collect()}
+    assert got[1] == got[2]
+
+
+def test_deterministic_sample_is_stable_and_nested(spark):
+    from knext_spark.pipeline import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    q = {r["doc_id"] for r in deterministic_sample(docs, 0.25, "text").collect()}
+    h = {r["doc_id"] for r in deterministic_sample(docs, 0.5, "text").collect()}
+    # rates roughly honored
+    assert abs(len(q) / n - 0.25) < 0.06
+    assert abs(len(h) / n - 0.5) < 0.06
+    # the hash-prefix construction nests: the 25% sample is a subset of
+    # the 50% one (stable curriculum growth, unlike DataFrame.sample)
+    assert q <= h
+    # rate=1 keeps everything, rate=0 keeps nothing
+    assert deterministic_sample(docs, 1.0, "text").count() == n
+    assert deterministic_sample(docs, 0.0, "text").count() == 0
+
+
+def test_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from knext_spark.pipeline import deterministic_sample, deterministic_split
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        deterministic_split(docs, fractions={})
+    with _pytest.raises(ValueError):
+        deterministic_split(docs, fractions={"a": -1.0, "b": 2.0})
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
