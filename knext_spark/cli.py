@@ -9,7 +9,7 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|cc|lpa|triangles
+  pagerank|hits|cc|lpa|triangles
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume
 
@@ -110,6 +110,7 @@ def _edges_df(spark, path):
 def cmd_graph(args):
     from knext_spark.graph import (
         connected_components,
+        hits,
         label_propagation,
         pagerank,
         triangle_count,
@@ -137,6 +138,17 @@ def cmd_graph(args):
             spark, edges, checkpoint_dir=args.checkpoint_dir,
             run_id=args.run_id, resume=args.resume, cadence=args.cadence,
             salt_k=salt_k,
+        )
+    elif args.verb == "hits":
+        res = hits(
+            spark,
+            edges.dropDuplicates(["src", "dst"]),
+            tol=args.tol,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id,
+            resume=args.resume,
+            cadence=args.cadence,
         )
     elif args.verb == "lpa":
         hot = args.hot_threshold
@@ -214,7 +226,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--unique", action="store_true")
     s.set_defaults(fn=cmd_convert)
 
-    for verb in ("pagerank", "cc", "lpa", "triangles"):
+    for verb in ("pagerank", "hits", "cc", "lpa", "triangles"):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
         s.add_argument("--out", required=True)

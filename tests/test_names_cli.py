@@ -44,3 +44,5 @@ def test_cli_parser_all_verbs():
     assert a.uniprot
     a = p.parse_args(["pagerank", "--edges", "/e", "--out", "/o", "--resume"])
     assert a.resume and a.alpha == 0.85
+    a = p.parse_args(["hits", "--edges", "/e", "--out", "/o", "--max-iter", "50"])
+    assert a.verb == "hits" and a.max_iter == 50
