@@ -108,6 +108,41 @@ def test_pagerank_micros_oracle_second_graph(spark, ddb, tmp_path):
     assert got == want
 
 
+def test_hits_micros_oracle_second_graph(spark, ddb, tmp_path):
+    """Same robustness evidence for the unrolled HITS oracle as
+    test_pagerank_micros_oracle_second_graph: a second graph shape
+    (mod=797) shows micros equality is not an artifact of the driver's
+    fixed mod=1000 graph (the hub/auth values and max-normalization
+    pivots all change with the shape)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import hits
+
+    edges = entrymod._edge_table(spark, SF_DIR, mod=797)
+    res = hits(
+        spark,
+        edges,
+        tol=0.0,
+        max_iter=entrymod._PR_ITERS,
+        checkpoint_dir=str(tmp_path / "hits797"),
+        cadence=50,
+    )
+    df = res.state.select(
+        "node",
+        entrymod._micros(F.col("hub")).alias("hub_micros"),
+        entrymod._micros(F.col("auth")).alias("auth_micros"),
+    )
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb, entrymod._hits_sql(entrymod._PR_ITERS, entrymod._edge_sql(797))
+    )
+    assert got_cols == want_cols
+    assert len(got) == len(want)
+    assert got == want
+
+
 @pytest.mark.parametrize("n_docs,seed", [(13, 9), (31, 7)])
 def test_kgml_oracles_second_corpus(spark, ddb, n_docs, seed):
     """Robustness of the regex-based KGML oracles beyond the driver's
