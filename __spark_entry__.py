@@ -703,6 +703,55 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Fixed-iteration personalized PageRank (tol=0, K pinned): seeds
+    are the graph nodes divisible by 97 (deterministic, in-graph, so
+    the rank vector keeps total mass 1), teleport AND dangling
+    redistribution follow the normalized seed vector — nx.pagerank's
+    personalization semantics. The unrolled DuckDB oracle (_ppr_sql)
+    mirrors the engine's update AND its driver-side rank-sum recursion
+    op-for-op."""
+    from knext_spark.graph import pagerank
+
+    edges = _edge_table(spark, sf_dir)
+    pers = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 97 == 0)
+        .select("node", F.lit(1.0).alias("p"))
+    )
+    res = pagerank(
+        spark,
+        edges,
+        tol=0.0,
+        max_iter=_PR_ITERS,
+        personalization=pers,
+        checkpoint_dir=tempfile.mkdtemp(prefix="q_ppr_"),
+        run_id="q",
+        cadence=50,
+    )
+    return res.state.select("node", _micros(F.col("rank")).alias("rank_micros"))
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (trim + forward-coloring rounds,
+    graph/scc.py); scc = min member id, so the recursive-CTE
+    mutual-reachability oracle (_scc_sql) is an exact integer match."""
+    from knext_spark.graph import strongly_connected_components
+
+    res = strongly_connected_components(
+        spark,
+        _edge_table(spark, sf_dir),
+        checkpoint_dir=tempfile.mkdtemp(prefix="q_scc_"),
+        run_id="q",
+    )
+    return res.state.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc").cast("long").alias("scc"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join, self-temporal: every event gets the user's
     most recent signup event at-or-before its timestamp (union+window
@@ -826,7 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
+        "scc": q_scc,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "kgml_edges": q_kgml_edges,
@@ -1071,6 +1122,85 @@ def _pagerank_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
     r0 as materialized (select node, cast(1.0 as double) / (select n from nn) as rank from nodes),
     {",".join(its)}
     select node, cast(floor(rank * 1000000 + 0.5) as bigint) as rank_micros from r{k}
+    """
+
+
+def _ppr_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
+    """Unrolled K-step PERSONALIZED power iteration mirroring
+    knext_spark.graph.pagerank(personalization=...) op-for-op: seeds =
+    nodes divisible by 97 with raw weight 1.0, normalized by their
+    Spark-side sum (an exact integer-valued double, so the division
+    mirrors bit-for-bit); rank' = alpha*(contrib + dm*p) + (1-alpha)*p;
+    and — the part a naive oracle would miss — the engine's DRIVER-SIDE
+    rank-sum recursion rs_i = alpha*(cs_i + dm_i*pm) + (1-alpha)*pm
+    with dm_i = rs_{i-1} - cs_i, reproduced as scalar CTEs. pm (the
+    in-graph personalization mass) is a distributed float sum in both
+    engines, so micros equality carries the usual summation-order
+    caveat of _pagerank_sql."""
+    its = []
+    for i in range(1, k + 1):
+        p = i - 1
+        its.append(f"""
+    c{i} as materialized (
+      select ne.dst as node, sum(r{p}.rank * ne.w_norm) as contrib
+      from ne join r{p} on r{p}.node = ne.src group by ne.dst
+    ),
+    cs{i} as materialized (select coalesce(sum(contrib), cast(0.0 as double)) as cs from c{i}),
+    dm{i} as materialized (select (select rs from rs{p}) - (select cs from cs{i}) as dm),
+    r{i} as materialized (
+      select np.node,
+             cast(0.85 as double) * (coalesce(c{i}.contrib, cast(0.0 as double))
+                                     + (select dm from dm{i}) * np.p)
+             + (cast(1.0 as double) - cast(0.85 as double)) * np.p as rank
+      from np left join c{i} on c{i}.node = np.node
+    ),
+    rs{i} as materialized (
+      select cast(0.85 as double) * ((select cs from cs{i}) + (select dm from dm{i}) * (select m from pm))
+             + (cast(1.0 as double) - cast(0.85 as double)) * (select m from pm) as rs
+    )""")
+    return f"""
+    with e as materialized ({edge_sql}),
+    outw as materialized (select src, cast(count(*) as double) as out_w from e group by src),
+    ne as materialized (select e.src, e.dst, cast(1.0 as double) / outw.out_w as w_norm
+           from e join outw on outw.src = e.src),
+    nodes as materialized (select src as node from e union select dst as node from e),
+    nn as materialized (select count(*) as n from nodes),
+    tot as materialized (select sum(cast(1.0 as double)) as t from nodes where node % 97 = 0),
+    np as materialized (select node,
+           case when node % 97 = 0 then cast(1.0 as double) / (select t from tot)
+                else cast(0.0 as double) end as p
+           from nodes),
+    pm as materialized (select sum(p) as m from np),
+    r0 as materialized (select node, cast(1.0 as double) / (select n from nn) as rank from nodes),
+    rs0 as materialized (select cast(1.0 as double) as rs),
+    {",".join(its)}
+    select node, cast(floor(rank * 1000000 + 0.5) as bigint) as rank_micros from r{k}
+    """
+
+
+def _scc_sql(edge_sql: str = _EDGE_SQL) -> str:
+    """Mutual-reachability strongly connected components: scc(v) = min
+    over {{u : v ->* u and u ->* v}} via one recursive-CTE forward
+    closure self-joined on swapped pairs — exactly the min-member
+    canonical label knext_spark.graph.scc produces. Node set comes
+    from the RAW edge list (self-loop-only nodes are singleton SCCs;
+    the engine trims them the same way)."""
+    return f"""
+    with recursive
+    ea as materialized (select src, dst from ({edge_sql})),
+    nodes as materialized (select src as node from ea union select dst as node from ea),
+    e0 as materialized (select src, dst from ea where src <> dst),
+    reach(a, b) as (
+      select node as a, node as b from nodes
+      union
+      select r.a, e.dst as b from reach r join e0 e on e.src = r.b
+    ),
+    mut as (
+      select r1.a as node, min(r1.b) as scc
+      from reach r1 join reach r2 on r2.a = r1.b and r2.b = r1.a
+      group by r1.a
+    )
+    select cast(node as bigint) as node, cast(scc as bigint) as scc from mut
     """
 
 
@@ -1805,7 +1935,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_sql(8),
         "pagerank": _pagerank_sql(_PR_ITERS),
+        "personalized_pagerank": _ppr_sql(_PR_ITERS),
         "hits": _hits_sql(_PR_ITERS),
+        "scc": _scc_sql(),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(10),
         # kgml_edges (genes mode, propagate='faithful'): rows-only —

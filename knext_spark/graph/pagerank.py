@@ -7,9 +7,11 @@ public source):
 
 - right-stochastic transition: each edge weight divided by its source's
   total out-weight;
-- dangling nodes (no out-edges) donate their whole rank, spread
-  uniformly (dangling_weights = personalization = uniform here);
-- x_{k+1} = alpha * (x_k @ A + dangling_mass * 1/N) + (1-alpha)/N;
+- dangling nodes (no out-edges) donate their whole rank, spread per
+  the personalization vector (dangling_weights = personalization;
+  uniform when no personalization is given — nx's defaults);
+- x_{k+1} = alpha * (x_k @ A + dangling_mass * p) + (1-alpha) * p,
+  with p = 1/N uniform or the normalized ``personalization`` column;
 - convergence when L1(x_{k+1} - x_k) < N * tol.
 
 Scale design:
@@ -87,11 +89,27 @@ def pagerank(
     num_partitions: int | None = None,
     check_every: int = 1,
     encode_ids: bool = False,
+    personalization: DataFrame | None = None,
+    _p_normalized: bool = False,
 ) -> SuperstepResult:
     """edges(src, dst, weight) -> SuperstepResult with state
     (node, rank). Parallel (src,dst) duplicates are NOT collapsed here
     (caller controls: nx.DiGraph-parity means dropDuplicates upstream;
     a MultiDiGraph reading sums them, which summation here reproduces).
+
+    ``personalization``: optional (node, p) DataFrame switching to
+    personalized PageRank with exact ``nx.pagerank(G,
+    personalization=...)`` semantics: p is normalized over ALL its
+    rows (keys outside the graph contribute to the normalization mass
+    but receive no rank — nx's behaviour), graph nodes absent from p
+    get 0, the teleport term becomes (1-alpha)*p(v), and dangling mass
+    redistributes as dangling_mass*p(v) (nx's default
+    dangling=personalization). The start vector stays uniform 1/N
+    (nx's nstart=None). The dangling-mass identity 1 - sum(contribs)
+    is personalization-independent (the rank vector still sums to 1),
+    so the per-superstep driver cost is unchanged. ``_p_normalized``
+    is internal (the encode_ids wrapper normalizes BEFORE encoding so
+    out-of-dictionary mass is preserved).
 
     ``encode_ids=True`` dictionary-encodes node ids to dense int64
     before iterating and decodes the result (graph.encode) — measured
@@ -111,6 +129,18 @@ def pagerank(
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")
 
+    if personalization is not None and not _p_normalized:
+        pin = personalization.select(
+            "node", F.col("p").cast("double").alias("p")
+        )
+        tot = pin.agg(F.sum("p").alias("t")).collect()[0]["t"]
+        if tot is None or float(tot) <= 0.0:
+            raise ValueError("personalization must have positive total mass")
+        personalization = pin.select(
+            "node", (F.col("p") / F.lit(float(tot))).alias("p")
+        )
+        _p_normalized = True
+
     if encode_ids:
         from knext_spark.graph.encode import (
             build_dictionary, decode_cols, encode_edges, nodes_of,
@@ -124,6 +154,13 @@ def pagerank(
             ),
             reuse=resume,
         )
+        pers_enc = None
+        if personalization is not None:
+            # inner join: out-of-graph keys drop here, AFTER the
+            # normalization above already banked their mass — nx parity
+            pers_enc = personalization.join(dic, "node").select(
+                F.col("nid").alias("node"), "p"
+            )
         res = pagerank(
             spark,
             encode_edges(edges, dic),
@@ -137,6 +174,8 @@ def pagerank(
             cadence=cadence,
             num_partitions=num_partitions,
             check_every=check_every,
+            personalization=pers_enc,
+            _p_normalized=True,
         )
         # dic is a Parquet read-back: the decode join re-reads the same
         # durable bytes whenever the caller's action runs — nothing to
@@ -154,10 +193,26 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition(n_part, "node")
-        .persist()
     )
+    if personalization is not None:
+        # carry the normalized teleport weight on the node frame itself
+        # (one build-time join; the per-superstep plan shape is
+        # unchanged — `new` still joins nodes with contribs once)
+        nodes = nodes.join(personalization, "node", "left").select(
+            "node", F.coalesce(F.col("p"), F.lit(0.0)).alias("p")
+        )
+    nodes = nodes.repartition(n_part, "node").persist()
     n = nodes.count()
+    # in-graph personalization mass: < 1.0 exactly when the caller put
+    # mass on out-of-graph keys (nx banks that mass in the
+    # normalization and lets it leak — the rank vector then sums to
+    # S < 1 at the fixpoint, so the dangling identity must use the
+    # tracked S, not the constant 1)
+    p_mass = (
+        1.0
+        if personalization is None
+        else float(nodes.agg(F.sum("p")).collect()[0][0] or 0.0)
+    )
     if n == 0:
         raise ValueError("empty graph")
 
@@ -179,6 +234,14 @@ def pagerank(
     # to step k) — the lagged convergence pair; kept alive because the
     # retired list only unpersists two steps behind
     prev_ranks: list[DataFrame | None] = [None]
+    # analytic total of the rank vector entering the CURRENT step —
+    # exactly 1.0 forever in the uniform case; under personalization
+    # with out-of-graph mass it decays toward its fixpoint and is
+    # updated driver-side from the same quantities the step already
+    # collects. None = unknown (resume mid-run): recomputed once.
+    rank_sum: list[float | None] = [
+        None if (resume and personalization is not None) else 1.0
+    ]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         ranks = state.select("node", "rank")
@@ -245,7 +308,9 @@ def pagerank(
             )
             sum_df = sum_df.unionByName(delta_df)
         got = {r["tag"]: r["v"] for r in sum_df.collect()}
-        dangling_mass = 1.0 - got["s"]
+        if rank_sum[0] is None:  # resumed personalized run: one-time re-derivation
+            rank_sum[0] = float(state.agg(F.sum("rank")).collect()[0][0])
+        dangling_mass = rank_sum[0] - got["s"]
         delta = got.get("d")
         # the collect above materialized this step's inputs; layers two
         # steps back can never be re-read — free them
@@ -262,26 +327,43 @@ def pagerank(
                 "n_nodes": n,
                 "dangling_mass": dangling_mass,
             }
+        if personalization is None:
+            rank_expr = (
+                F.lit(alpha)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling_mass / float(n))
+                )
+                + F.lit((1.0 - alpha) / n)
+            )
+        else:
+            # nx personalized update: alpha*(Ax + dm*p) + (1-alpha)*p
+            rank_expr = (
+                F.lit(alpha)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling_mass) * F.col("p")
+                )
+                + F.lit(1.0 - alpha) * F.col("p")
+            )
         new = (
             nodes.join(
                 contribs.hint("shuffle_hash"), nodes["node"] == contribs["dst"], "left"
             )
-            .select(
-                "node",
-                (
-                    F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling_mass / float(n))
-                    )
-                    + F.lit((1.0 - alpha) / n)
-                ).alias("rank"),
-            )
+            .select("node", rank_expr.alias("rank"))
         )
         # lazy localCheckpoint truncates lineage (LogicalRDD) without an
         # eager job — the next superstep's fused collect materializes it
         new = new.localCheckpoint(eager=False, storageLevel=ser)
         last_new[0] = new
+        if personalization is not None:
+            # analytic total of `new`: sum over nodes of the update rule
+            # (contribs sum to got["s"], p sums to p_mass) — keeps the
+            # dangling identity exact without any extra distributed sum
+            rank_sum[0] = (
+                alpha * (got["s"] + dangling_mass * p_mass)
+                + (1.0 - alpha) * p_mass
+            )
         m = {"n_nodes": n, "dangling_mass": dangling_mass}
         if delta is not None:
             m["l1_delta"] = float(delta)  # lagged: L1 of superstep k-1

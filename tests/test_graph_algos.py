@@ -697,3 +697,200 @@ def test_hits_fixed_iteration_mode(spark, tmp_path):
     # both vectors sum-normalized on return
     assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
     assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------- personalized pagerank
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_personalized_pagerank_vs_networkx(spark, tmp_path, gname):
+    """nx.pagerank(personalization=...) parity allclose(1e-6): teleport
+    and dangling redistribution both follow the normalized seed
+    vector; unseeded nodes get p=0."""
+    dedup = list(dict.fromkeys(GRAPHS[gname]))
+    G = nx.DiGraph()
+    G.add_edges_from(dedup)
+    seeds = sorted(G.nodes)[::3]
+    pers = {v: float(i % 4 + 1) for i, v in enumerate(seeds)}
+    want = nx_pagerank(
+        G, alpha=0.85, personalization=pers, tol=1e-6, max_iter=100
+    )
+    pdf = spark.createDataFrame(list(pers.items()), "node string, p double")
+    res = pagerank(
+        spark,
+        _edge_df(spark, dedup),
+        tol=1e-6,
+        max_iter=100,
+        personalization=pdf,
+        checkpoint_dir=str(tmp_path / gname),
+        run_id="t",
+        cadence=25,
+    )
+    got = {r["node"]: r["rank"] for r in res.state.collect()}
+    assert res.converged
+    assert set(got) == set(want)
+    keys = sorted(want)
+    assert np.allclose(
+        [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
+    ), gname
+
+
+def test_personalized_pagerank_out_of_graph_mass(spark, tmp_path):
+    """nx banks personalization mass on out-of-graph keys in the
+    normalization and lets it leak (the rank vector sums to < 1 at the
+    fixpoint); the engine's driver-side rank-sum recursion reproduces
+    that — plain, salted, and encoded runs all match nx."""
+    dedup = list(dict.fromkeys(GRAPHS["erdos"]))
+    G = nx.DiGraph()
+    G.add_edges_from(dedup)
+    pers = {v: 1.0 for v in sorted(G.nodes)[::5]}
+    pers["not-in-graph"] = 3.0
+    want = nx_pagerank(
+        G, alpha=0.85, personalization=pers, tol=1e-6, max_iter=100
+    )
+    assert sum(want.values()) < 0.999  # the leak is real on this input
+    pdf = spark.createDataFrame(list(pers.items()), "node string, p double")
+    keys = sorted(want)
+    for run, kw in [
+        ("plain", {}),
+        ("salted", {"salt_k": 4}),
+        ("encoded", {"encode_ids": True}),
+    ]:
+        res = pagerank(
+            spark,
+            _edge_df(spark, dedup),
+            tol=1e-6,
+            max_iter=100,
+            personalization=pdf,
+            checkpoint_dir=str(tmp_path / run),
+            run_id=run,
+            cadence=25,
+            **kw,
+        )
+        got = {r["node"]: r["rank"] for r in res.state.collect()}
+        assert np.allclose(
+            [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
+        ), run
+
+
+def test_personalized_pagerank_resume_identical(spark, tmp_path):
+    """Kill-and-resume with out-of-graph personalization mass: the
+    resumed run re-derives the tracked rank-vector total from the
+    committed iterate (one extra aggregate), so resumed == full."""
+    dedup = list(dict.fromkeys(GRAPHS["erdos"]))
+    pers = {v: 1.0 for v in sorted({a for a, _ in dedup})[::4]}
+    pers["ghost"] = 2.0
+    pdf = spark.createDataFrame(list(pers.items()), "node string, p double")
+    e = _edge_df(spark, dedup)
+    full = pagerank(
+        spark, e, personalization=pdf,
+        checkpoint_dir=str(tmp_path / "f"), run_id="r",
+    )
+    part = pagerank(
+        spark, e, personalization=pdf,
+        checkpoint_dir=str(tmp_path / "p"), run_id="r", max_iter=3,
+    )
+    assert not part.converged
+    resumed = pagerank(
+        spark, e, personalization=pdf,
+        checkpoint_dir=str(tmp_path / "p"), run_id="r", resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    a = {r["node"]: r["rank"] for r in full.state.collect()}
+    b = {r["node"]: r["rank"] for r in resumed.state.collect()}
+    keys = sorted(a)
+    assert np.allclose([a[k] for k in keys], [b[k] for k in keys], atol=1e-12)
+
+
+def test_personalized_pagerank_rejects_zero_mass(spark, tmp_path):
+    pdf = spark.createDataFrame([("a", 0.0)], "node string, p double")
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(
+            spark,
+            _edge_df(spark, [("a", "b")]),
+            personalization=pdf,
+            checkpoint_dir=str(tmp_path),
+        )
+
+
+# ------------------------------------------------ strongly connected comps
+def _nx_scc_labels(pairs):
+    G = nx.DiGraph()
+    G.add_edges_from(pairs)
+    want = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_scc_vs_networkx(spark, tmp_path, gname):
+    """Exact nx.strongly_connected_components parity (min-member
+    canonical label) across the adversarial shapes: hubs, a 30-deep
+    chain (worst case for trim depth), dangling, self-loops, islands,
+    parallel edges, and a random digraph."""
+    from knext_spark.graph import strongly_connected_components
+
+    dedup = list(dict.fromkeys(GRAPHS[gname]))
+    want = _nx_scc_labels(dedup)
+    res = strongly_connected_components(
+        spark,
+        _edge_df(spark, dedup).select("src", "dst"),
+        checkpoint_dir=str(tmp_path / gname),
+        run_id="t",
+    )
+    got = {r["node"]: r["scc"] for r in res.state.collect()}
+    assert res.converged
+    assert got == want, gname
+
+
+def test_scc_encoded_parity_and_corpus(spark, tmp_path, corpus_edges):
+    """Encoded run decodes to exactly the raw-id labels (order-
+    preserving encoding; every comparison in scc is a min over ids),
+    on the KGML-derived corpus graph."""
+    from knext_spark.graph import strongly_connected_components
+
+    dedup = list(dict.fromkeys(corpus_edges))
+    want = _nx_scc_labels(dedup)
+    for run, enc in [("raw", False), ("enc", True)]:
+        res = strongly_connected_components(
+            spark,
+            _edge_df(spark, dedup).select("src", "dst"),
+            checkpoint_dir=str(tmp_path / run),
+            run_id=run,
+            encode_ids=enc,
+        )
+        got = {r["node"]: r["scc"] for r in res.state.collect()}
+        assert got == want, run
+
+
+def test_scc_resume_identical(spark, tmp_path):
+    """Kill after round 1 of a graph that needs two outer rounds (an
+    SCC feeding an SCC: the downstream cycle is only colorable once
+    the upstream one is extracted), then resume: labels must equal an
+    uninterrupted run's exactly."""
+    from knext_spark.graph import strongly_connected_components
+
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),  # upstream 3-cycle
+        ("a3", "b1"),                               # DAG edge down
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),  # downstream 3-cycle
+        ("b3", "t1"),                               # trimmed tail
+    ]
+    e = _edge_df(spark, pairs).select("src", "dst")
+    full = strongly_connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "f"), run_id="r"
+    )
+    assert full.iterations >= 2
+    part = strongly_connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "p"), run_id="r", max_rounds=1
+    )
+    assert not part.converged
+    resumed = strongly_connected_components(
+        spark, e, checkpoint_dir=str(tmp_path / "p"), run_id="r", resume=True
+    )
+    assert resumed.converged
+    a = {r["node"]: r["scc"] for r in full.state.collect()}
+    b = {r["node"]: r["scc"] for r in resumed.state.collect()}
+    assert a == b == _nx_scc_labels(pairs)
