@@ -9,9 +9,10 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|lpa|triangles
+  pagerank|hits|cc|scc|lpa|triangles
                 graph algorithms over an edge warehouse, with
-                checkpoint/resume
+                checkpoint/resume (pagerank takes --personalization,
+                a parquet of (node, p) teleport seeds)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -113,6 +114,7 @@ def cmd_graph(args):
         hits,
         label_propagation,
         pagerank,
+        strongly_connected_components,
         triangle_count,
     )
 
@@ -121,6 +123,10 @@ def cmd_graph(args):
     # argparse leaves --salt-k a string; pagerank compares it numerically
     salt_k = args.salt_k if args.salt_k == "auto" else int(args.salt_k)
     if args.verb == "pagerank":
+        pers = None
+        if getattr(args, "personalization", None):
+            # parquet (node, p): seeds for personalized PageRank
+            pers = spark.read.parquet(args.personalization)
         res = pagerank(
             spark,
             edges.dropDuplicates(["src", "dst"]),
@@ -132,6 +138,13 @@ def cmd_graph(args):
             resume=args.resume,
             salt_k=salt_k,
             cadence=args.cadence,
+            personalization=pers,
+        )
+    elif args.verb == "scc":
+        res = strongly_connected_components(
+            spark, edges, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume, cadence=args.cadence,
+            max_rounds=args.max_iter,
         )
     elif args.verb == "cc":
         res = connected_components(
@@ -226,7 +239,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--unique", action="store_true")
     s.set_defaults(fn=cmd_convert)
 
-    for verb in ("pagerank", "hits", "cc", "lpa", "triangles"):
+    for verb in ("pagerank", "hits", "cc", "scc", "lpa", "triangles"):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
         s.add_argument("--out", required=True)
@@ -240,6 +253,8 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--salt-k", default=1)
         # lpa only: hot-key broadcast split threshold (auto|off|int)
         s.add_argument("--hot-threshold", default="auto")
+        # pagerank only: parquet path of (node, p) teleport seeds
+        s.add_argument("--personalization", default=None)
         s.set_defaults(fn=cmd_graph)
     return p
 

@@ -46,3 +46,10 @@ def test_cli_parser_all_verbs():
     assert a.resume and a.alpha == 0.85
     a = p.parse_args(["hits", "--edges", "/e", "--out", "/o", "--max-iter", "50"])
     assert a.verb == "hits" and a.max_iter == 50
+    a = p.parse_args(["scc", "--edges", "/e", "--out", "/o"])
+    assert a.verb == "scc"
+    a = p.parse_args(
+        ["pagerank", "--edges", "/e", "--out", "/o",
+         "--personalization", "/seeds"]
+    )
+    assert a.personalization == "/seeds"
