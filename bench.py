@@ -421,7 +421,9 @@ def _timed_pagerank(spark, edges, steps: int, n_part: int) -> float:
     return time.time() - t0
 
 
-def _steady_superstep_walls(spark, edges, steps: int, n_part: int) -> list[float]:
+def _steady_superstep_walls(
+    spark, edges, steps: int, n_part: int, personalization=None
+) -> list[float]:
     """Per-superstep wall seconds from ONE fixed-superstep run — the
     runner records each superstep's wall in its metrics, so a single
     run yields `steps` samples with per-run fixed cost (session, init
@@ -437,6 +439,7 @@ def _steady_superstep_walls(spark, edges, steps: int, n_part: int) -> list[float
         max_iter=steps,
         tol=0.0,
         num_partitions=n_part,
+        personalization=personalization,
     )
     res.state.count()
     return [
@@ -696,6 +699,155 @@ def run_encode_gain(sf_dir: str) -> dict:
         "variants": out,
         "supersteps_per_run": steps,
         "replicas": replicas,
+    }
+
+
+def run_graph_extra(sf_dir: str, levels=(2, 8)) -> dict:
+    """Throughput + two-level scaling evidence for the round-5 graph
+    additions: strongly connected components (full-job edges/sec —
+    SCC's rounds are heterogeneous, so per-superstep medians would
+    compare unlike work) and personalized PageRank (steady-state
+    per-superstep walls, directly comparable to the --scaling PageRank
+    protocol; the expected result is parity with plain PageRank, since
+    personalization only changes the per-node teleport column and the
+    driver-side dangling arithmetic).
+
+    Input: the same KGML-parse -> replicate -> xxhash64-encode recipe
+    as --scaling, sized down (SPARK_GRAFT_GX_DOCS=30000 x
+    SPARK_GRAFT_GX_REPLICAS=4 by default, ~10M edges) because SCC runs
+    to a FIXPOINT per level per run rather than a fixed superstep
+    count. PPR seeds = the ~1% of nodes with xxhash64(node) % 100 == 0
+    (deterministic, in-graph). Both levels read the same Parquet bytes
+    with the same partitioning; only task slots differ."""
+    import statistics
+    from knext_spark.session import get_spark
+    from knext_spark.graph import pagerank, strongly_connected_components
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_GX_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_GX_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_GX_DOCS", "30000"))
+    replicas = int(os.environ.get("SPARK_GRAFT_GX_REPLICAS", "4"))
+    runs = int(os.environ.get("SPARK_GRAFT_GX_RUNS", "2"))
+    steps = int(os.environ.get("SPARK_GRAFT_GX_STEPS", "12"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_gx_edges_")
+    spark = get_spark(
+        "bench_gx_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    rep = base.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
+    (
+        rep.select(
+            F.xxhash64("src", "rep").alias("src"),
+            F.xxhash64("dst", "rep").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_gx_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        pers = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .where(F.pmod(F.xxhash64("node"), F.lit(100)) == 0)
+            .select("node", F.lit(1.0).alias("p"))
+        )
+
+        scc_walls, scc_rounds, n_scc = [], None, None
+        for _ in range(runs):
+            t0 = time.time()
+            res = strongly_connected_components(
+                spark, edges,
+                checkpoint_dir=tempfile.mkdtemp(prefix="bench_scc_"),
+                run_id="gx", num_partitions=n_part,
+            )
+            n_scc = res.state.select("scc").distinct().count()
+            scc_walls.append(time.time() - t0)
+            scc_rounds = res.iterations
+
+        variants = {}
+        for name, p in (("pagerank", None), ("ppr", pers)):
+            medians, all_walls = [], []
+            for _ in range(runs):
+                walls = _steady_superstep_walls(
+                    spark, edges, steps, n_part, personalization=p
+                )
+                medians.append(statistics.median(walls[len(walls) // 2:]))
+                all_walls.append([round(w, 2) for w in walls])
+            sps = 1.0 / min(medians)
+            variants[name] = {
+                "sec_per_superstep": round(min(medians), 3),
+                "edges_per_sec": round(sps * n_edges, 1),
+                "per_superstep_walls": all_walls,
+            }
+
+        scc_wall = min(scc_walls)
+        out[f"local[{cpus}]"] = {
+            "n_edges": n_edges,
+            "scc": {
+                "wall_s": round(scc_wall, 2),
+                "edges_per_sec": round(n_edges / scc_wall, 1),
+                "outer_rounds": scc_rounds,
+                "n_components": n_scc,
+                "walls": [round(w, 2) for w in scc_walls],
+            },
+            **variants,
+        }
+        edges.unpersist()
+        spark.stop()
+
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in ("scc", "pagerank", "ppr"):
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["edges_per_sec"]
+                / out[f"local[{lo}]"][algo]["edges_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    ppr_vs_pr = round(
+        out[f"local[{levels[-1]}]"]["pagerank"]["sec_per_superstep"]
+        / out[f"local[{levels[-1]}]"]["ppr"]["sec_per_superstep"],
+        3,
+    )
+    return {
+        "metric": "graph_extra_scaling_efficiency",
+        "value": pairs[f"scc:{levels[0]}->{levels[1]}"],
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "ppr_vs_pagerank_superstep_ratio": ppr_vs_pr,
+        "levels": out,
+        "n_docs": n_docs,
+        "replicas": replicas,
+        "supersteps_per_run": steps,
+        "runs_per_level": runs,
+        "sf": sf,
     }
 
 
@@ -1310,6 +1462,8 @@ if __name__ == "__main__":
         emit(run_skew(sf_dir))
     elif "--recall" in sys.argv:
         emit(run_recall(sf_dir))
+    elif "--graph-extra" in sys.argv:
+        emit(run_graph_extra(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))
