@@ -9,10 +9,12 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard
                 graph algorithms over an edge warehouse, with
-                checkpoint/resume (pagerank takes --personalization,
-                a parquet of (node, p) teleport seeds)
+                checkpoint/resume for the iterative ones (pagerank
+                takes --personalization, a parquet of (node, p)
+                teleport seeds; jaccard takes --min-common and the
+                --max-apex-degree hub governor)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -110,9 +112,11 @@ def _edges_df(spark, path):
 
 def cmd_graph(args):
     from knext_spark.graph import (
+        clustering_coefficient,
         connected_components,
         hits,
         label_propagation,
+        neighbor_jaccard,
         pagerank,
         strongly_connected_components,
         triangle_count,
@@ -172,6 +176,18 @@ def cmd_graph(args):
             salt_k=salt_k,
             hot_threshold=hot if hot in ("auto", "off") else int(hot),
         )
+    elif args.verb == "clustering":
+        clustering_coefficient(edges).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return
+    elif args.verb == "jaccard":
+        neighbor_jaccard(
+            edges,
+            min_common=args.min_common,
+            max_apex_degree=args.max_apex_degree,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return
     else:  # triangles
         triangle_count(edges).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
@@ -239,7 +255,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--unique", action="store_true")
     s.set_defaults(fn=cmd_convert)
 
-    for verb in ("pagerank", "hits", "cc", "scc", "lpa", "triangles"):
+    for verb in (
+        "pagerank", "hits", "cc", "scc", "lpa", "triangles",
+        "clustering", "jaccard",
+    ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
         s.add_argument("--out", required=True)
@@ -255,6 +274,9 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--hot-threshold", default="auto")
         # pagerank only: parquet path of (node, p) teleport seeds
         s.add_argument("--personalization", default=None)
+        # jaccard only: selectivity floor + hub governor
+        s.add_argument("--min-common", type=int, default=1)
+        s.add_argument("--max-apex-degree", type=int, default=None)
         s.set_defaults(fn=cmd_graph)
     return p
 

@@ -29,3 +29,7 @@ from knext_spark.graph.degrees import (  # noqa: F401
     roots,
     leaves,
 )
+from knext_spark.graph.linkpred import (  # noqa: F401
+    clustering_coefficient,
+    neighbor_jaccard,
+)

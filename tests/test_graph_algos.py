@@ -894,3 +894,79 @@ def test_scc_resume_identical(spark, tmp_path):
     a = {r["node"]: r["scc"] for r in full.state.collect()}
     b = {r["node"]: r["scc"] for r in resumed.state.collect()}
     assert a == b == _nx_scc_labels(pairs)
+
+
+# --------------------------------------------------- linkpred (round 5)
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_clustering_coefficient_vs_networkx(spark, gname):
+    from knext_spark.graph import clustering_coefficient
+
+    pairs = GRAPHS[gname]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.clustering(G)
+    got = {
+        r["node"]: r["clustering"]
+        for r in clustering_coefficient(_edge_df(spark, pairs)).collect()
+    }
+    assert set(got) == set(want), gname
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, (gname, n)
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_neighbor_jaccard_vs_networkx(spark, gname):
+    """Exactly nx.jaccard_coefficient over non-edges, restricted to
+    pairs with >= 1 common neighbor (zero-score pairs are not emitted
+    by design), on the simple undirected graph."""
+    from knext_spark.graph import neighbor_jaccard
+
+    pairs = [(a, b) for a, b in GRAPHS[gname] if a != b]
+    if not pairs:
+        pytest.skip("no non-loop edges")
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    want = {}
+    for u, v in nx.non_edges(G):
+        common = len(set(G[u]) & set(G[v]))
+        if common >= 1:
+            a, b = sorted((u, v))
+            union = len(set(G[u]) | set(G[v]))
+            want[(a, b)] = (common, union, common / union)
+    rows = neighbor_jaccard(_edge_df(spark, pairs)).collect()
+    got = {
+        (r["a"], r["b"]): (r["common"], r["union_size"], r["jaccard"]) for r in rows
+    }
+    assert set(got) == set(want), gname
+    for k, (c, u, j) in want.items():
+        gc, gu, gj = got[k]
+        assert (gc, gu) == (c, u), (gname, k)
+        assert abs(gj - j) < 1e-12, (gname, k)
+
+
+def test_neighbor_jaccard_hub_governor(spark):
+    """max_apex_degree drops wedges THROUGH hubs but keeps true
+    degrees in the denominator; include_existing keeps adjacent
+    pairs."""
+    from knext_spark.graph import neighbor_jaccard
+
+    pairs = GRAPHS["hub"]
+    capped = neighbor_jaccard(
+        _edge_df(spark, pairs), max_apex_degree=10
+    ).collect()
+    # every pair's only shared neighbor is the hub (degree >> 10)
+    assert capped == []
+    kept = neighbor_jaccard(
+        _edge_df(spark, pairs), max_apex_degree=10, include_existing=True
+    ).collect()
+    assert kept == []
+    # include_existing surfaces ADJACENT pairs that share a neighbor —
+    # i.e. triangle edges: in a 3-cycle every edge (u,v) shares the
+    # third node, and there are no non-edges at all
+    tri = [("u", "v"), ("v", "w"), ("w", "u")]
+    assert neighbor_jaccard(_edge_df(spark, tri)).collect() == []
+    rows = neighbor_jaccard(_edge_df(spark, tri), include_existing=True).collect()
+    assert sorted((r["a"], r["b"], r["common"], r["union_size"]) for r in rows) == [
+        ("u", "v", 1, 3), ("u", "w", 1, 3), ("v", "w", 1, 3)
+    ]
