@@ -386,6 +386,26 @@ def q_minhash_dedup(spark, sf_dir):
     return out.select("a", "b", _micros(F.col("jaccard")).alias("jaccard_micros"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive fuzzy-dedup clustering (pipeline/dedup.py:
+    dedup_clusters): minhash pairs -> CC closure -> per-doc
+    (cluster, is_canonical). Oracle closes the SAME pair set with a
+    recursive CTE and takes the same min-key label."""
+    from knext_spark.pipeline import dedup_clusters
+
+    out = dedup_clusters(
+        spark,
+        _read(spark, sf_dir, "documents"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="q_ddc_"),
+        k=8, w=3, bands=4, rows=2, threshold=0.2,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from knext_spark.pipeline import ngram_jaccard_pairs
 
@@ -571,6 +591,35 @@ def q_triangles(spark, sf_dir):
 
     return triangle_count(_edge_table(spark, sf_dir)).select(
         "node", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_clustering_coef(spark, sf_dir):
+    """nx.clustering parity (graph/linkpred.py); micros so the double
+    division hashes identically cross-engine (both sides compute the
+    same IEEE expression from the same integers)."""
+    from knext_spark.graph import clustering_coefficient
+
+    return clustering_coefficient(_edge_table(spark, sf_dir)).select(
+        "node", _micros(F.col("clustering")).alias("clustering_micros")
+    )
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Common-neighbor link prediction on the SPARSE contract graph
+    (mod=5000: ~60k edges over ~7k nodes): min_common=3 keeps the
+    candidate set selective (~17k pairs at sf0.01) the same way the
+    engine's min_common governor would at scale."""
+    from knext_spark.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _edge_table(spark, sf_dir, mod=5000), min_common=3
+    ).select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.col("union_size").cast("long").alias("union_size"),
+        _micros(F.col("jaccard")).alias("jaccard_micros"),
     )
 
 
@@ -861,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -874,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_stats": q_payload_stats,
         "media_features": q_media_features,
         "triangles": q_triangles,
+        "clustering_coef": q_clustering_coef,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
@@ -1784,6 +1836,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(8),
         "lsh_candidates": _lsh_cand_sql(),
         "minhash_dedup": _jaccard_sql(0.2, with_lsh=True),
+        "dedup_clusters": f"""
+            with recursive mh as ({_jaccard_sql(0.2, with_lsh=True)}),
+            und as (select a, b from mh union select b as a, a as b from mh),
+            pn as (select distinct a as node from und),
+            tc(node, r) as (
+              select node, node from pn
+              union
+              select tc.node, u.b from tc join und u on u.a = tc.r
+            ),
+            clu as (select node, min(r) as cluster from tc group by node)
+            select cast(d.doc_id as bigint) as doc_id,
+                   cast(coalesce(c.cluster, d.doc_id) as bigint) as cluster,
+                   coalesce(c.cluster, d.doc_id) = d.doc_id as is_canonical
+            from documents d left join clu c on c.node = d.doc_id
+        """,
         "ngram_jaccard": _jaccard_sql(0.1, with_lsh=False),
         "simhash": _simhash_sql(16),
         "simhash_near_pairs": f"""
@@ -1932,6 +1999,61 @@ def oracle_sql() -> dict[str, str]:
             cnt as (select node, count(*) as c from tn group by node)
             select nodes.node, cast(coalesce(cnt.c, 0) as bigint) as triangles
             from nodes left join cnt using (node)
+        """,
+        "clustering_coef": f"""
+            with e as ({edge}),
+            e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                   from e where src <> dst),
+            nodes as (select src as node from e union select dst from e),
+            tri as (
+              select e1.a as x, e1.b as y, e2.b as z
+              from e0 e1
+              join e0 e2 on e1.a = e2.a and e1.b < e2.b
+              join e0 e3 on e3.a = e1.b and e3.b = e2.b
+            ),
+            tn as (select unnest([x, y, z]) as node from tri),
+            cnt as (select node, count(*) as c from tn group by node),
+            deg as (
+              select node, count(*) as d
+              from (select a as node from e0 union all select b from e0)
+              group by node
+            )
+            select nodes.node,
+                   cast(floor(
+                     case when coalesce(deg.d, 0) >= 2
+                          then 2.0 * coalesce(cnt.c, 0) / (deg.d * (deg.d - 1))
+                          else 0.0 end * 1000000 + 0.5) as bigint
+                   ) as clustering_micros
+            from nodes left join cnt using (node) left join deg using (node)
+        """,
+        "neighbor_jaccard": f"""
+            with e as ({_edge_sql(5000)}),
+            e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                   from e where src <> dst),
+            adj as (select a as w, b as x from e0
+                    union all
+                    select b as w, a as x from e0),
+            deg as (select w, count(*) as d from adj group by w),
+            p as (
+              select l.x as a, r.x as b, count(*) as common
+              from adj l join adj r on l.w = r.w and l.x < r.x
+              group by l.x, r.x
+              having count(*) >= 3
+            ),
+            np as (
+              select p.* from p
+              left join e0 on p.a = e0.a and p.b = e0.b
+              where e0.a is null
+            )
+            select np.a, np.b,
+                   cast(np.common as bigint) as common,
+                   cast(da.d + db.d - np.common as bigint) as union_size,
+                   cast(floor(
+                     cast(np.common as double) / (da.d + db.d - np.common)
+                     * 1000000 + 0.5) as bigint) as jaccard_micros
+            from np
+            join deg da on np.a = da.w
+            join deg db on np.b = db.w
         """,
         "media_features": _media_features_sql(8),
         "pagerank": _pagerank_sql(_PR_ITERS),
