@@ -27,6 +27,7 @@ from knext_spark.pipeline.text import (  # noqa: F401
     tokens_col,
 )
 from knext_spark.pipeline.dedup import (  # noqa: F401
+    dedup_clusters,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,

@@ -292,3 +292,57 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
+    keep: str = "min",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Transitive fuzzy-dedup clustering — the shape corpus-scale LLM
+    dedup actually takes: confirmed near-dup PAIRS alone under-remove
+    (A~B and B~C but the A-C pair never collided in any band), so the
+    pair graph is closed transitively and one canonical doc survives
+    per CLUSTER.
+
+    pairs (default: :func:`minhash_dedup_pairs` with
+    ``**minhash_kwargs``) -> connected components over the pair graph
+    (graph/components.py: alternating star contraction, checkpointed)
+    -> every input doc labeled (key, cluster, is_canonical) where
+    cluster = min member key (docs in no pair are their own
+    singleton cluster) and is_canonical marks the kept doc
+    (``keep="min"``: the min key — deterministic, the only keep rule
+    whose canonical is also the cluster id).
+
+    Scale: the pair graph is tiny relative to the corpus (only
+    confirmed duplicates), so the CC superstep cost is bounded by
+    duplication mass, not corpus size; the final labeling is one
+    left join from the corpus to the CC state on the doc key.
+    """
+    if keep != "min":
+        raise ValueError(f"unsupported keep rule: {keep!r} (only 'min')")
+    if pairs is None:
+        pairs = minhash_dedup_pairs(df, text_col=text_col, key=key, **minhash_kwargs)
+    from knext_spark.graph.components import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    res = connected_components(
+        spark, edges, checkpoint_dir=checkpoint_dir, run_id="dedup_clusters"
+    )
+    state = res.state.select(
+        F.col("node").alias(key), F.col("component").alias("cluster")
+    )
+    return (
+        df.select(key)
+        .join(state, key, "left")
+        .select(
+            key,
+            F.coalesce("cluster", F.col(key)).alias("cluster"),
+            (F.coalesce("cluster", F.col(key)) == F.col(key)).alias("is_canonical"),
+        )
+    )

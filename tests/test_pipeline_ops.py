@@ -697,3 +697,48 @@ def test_split_rejects_bad_fractions(spark):
         deterministic_split(docs, fractions={"a": -1.0, "b": 2.0})
     with _pytest.raises(ValueError):
         deterministic_sample(docs, 1.5)
+
+
+def test_dedup_clusters_transitive_closure(spark, tmp_path):
+    """A~B and B~C without an A~C pair must still collapse into ONE
+    cluster labeled min(key); untouched docs are singleton canonicals."""
+    from knext_spark.pipeline import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85)], "a long, b long, jaccard double"
+    )
+    out = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in dedup_clusters(
+            spark, docs, pairs=pairs, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 9: (9, True),
+    }
+
+
+def test_dedup_clusters_default_minhash_path(spark, tmp_path):
+    """End-to-end default path: near-identical texts cluster, the rest
+    stay singleton; exactly one canonical per cluster."""
+    from knext_spark.pipeline import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog!"),
+            (12, "an entirely different document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup_clusters(
+        spark, docs, checkpoint_dir=str(tmp_path / "cc2"), threshold=0.5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[10]["cluster"] == by_id[11]["cluster"] == 10
+    assert by_id[10]["is_canonical"] and not by_id[11]["is_canonical"]
+    assert by_id[12]["cluster"] == 12 and by_id[12]["is_canonical"]
