@@ -1223,6 +1223,117 @@ def run_recall(sf_dir: str) -> dict:
     }
 
 
+def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for the round-5 linkpred operators:
+    local clustering coefficient (degree-oriented triangle reuse) and
+    neighbor-Jaccard link prediction (apex wedge join under the
+    max_apex_degree hub governor — the KGML gene graph is hub-skewed,
+    so an UNgoverned wedge join is exactly the quadratic blow-up the
+    governor exists to prevent; the governed run is the production
+    configuration being measured).
+
+    Protocol mirrors --graph-extra: one KGML-parse -> xxhash64-encode
+    edge table written once to shared Parquet; each level reads the
+    same bytes with the same partitioning, full-job wall (count
+    action) per operator, min over SPARK_GRAFT_LP_RUNS runs,
+    edges/sec + per-pair scaling efficiency."""
+    from knext_spark.session import get_spark
+    from knext_spark.graph import clustering_coefficient, neighbor_jaccard
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_LP_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_LP_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_LP_DOCS", "20000"))
+    runs = int(os.environ.get("SPARK_GRAFT_LP_RUNS", "2"))
+    apex_cap = int(os.environ.get("SPARK_GRAFT_LP_APEX_CAP", "128"))
+    min_common = int(os.environ.get("SPARK_GRAFT_LP_MIN_COMMON", "2"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_lp_edges_")
+    spark = get_spark(
+        "bench_lp_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    (
+        base.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_lp_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        level = {"n_edges": n_edges}
+        for name, fn in (
+            ("clustering", lambda: clustering_coefficient(edges)),
+            (
+                "jaccard",
+                lambda: neighbor_jaccard(
+                    edges, min_common=min_common, max_apex_degree=apex_cap
+                ),
+            ),
+        ):
+            walls, rows = [], None
+            for _ in range(runs):
+                t0 = time.time()
+                rows = fn().count()
+                walls.append(time.time() - t0)
+            w = min(walls)
+            level[name] = {
+                "wall_s": round(w, 2),
+                "edges_per_sec": round(n_edges / w, 1),
+                "out_rows": rows,
+                "walls": [round(x, 2) for x in walls],
+            }
+        out[f"local[{cpus}]"] = level
+        edges.unpersist()
+        spark.stop()
+
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in ("clustering", "jaccard"):
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["edges_per_sec"]
+                / out[f"local[{lo}]"][algo]["edges_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    return {
+        "metric": "linkpred_scaling_efficiency",
+        "value": pairs[f"jaccard:{levels[0]}->{levels[1]}"],
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "n_docs": n_docs,
+        "apex_cap": apex_cap,
+        "min_common": min_common,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_temporal_skew(sf_dir: str) -> dict:
     """Hot-key straggler evidence for asof_join's ``bucket_delta`` path.
 
@@ -1464,6 +1575,8 @@ if __name__ == "__main__":
         emit(run_recall(sf_dir))
     elif "--graph-extra" in sys.argv:
         emit(run_graph_extra(sf_dir))
+    elif "--linkpred" in sys.argv:
+        emit(run_linkpred(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))
