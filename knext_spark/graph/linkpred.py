@@ -88,15 +88,29 @@ def neighbor_jaccard(
     min_common: int = 1,
     max_apex_degree: Optional[int] = None,
     include_existing: bool = False,
+    adamic_adar: bool = False,
 ) -> DataFrame:
-    """Link-prediction candidates (a, b, common, union_size, jaccard)
-    over the undirected simple graph, one row per unordered pair
-    (a < b) with at least ``min_common`` shared neighbors.
+    """Link-prediction candidates (a, b, common, union_size, jaccard
+    [, adamic_adar]) over the undirected simple graph, one row per
+    unordered pair (a < b) with at least ``min_common`` shared
+    neighbors.
 
     ``include_existing=False`` (default) anti-joins pairs that are
     already edges — the link-PREDICTION view, nx.jaccard_coefficient's
     non-edges convention. ``max_apex_degree`` is the hub governor
     documented in the module docstring: None = exact.
+
+    ``adamic_adar=True`` adds the Adamic-Adar index
+    sum_w 1/ln(deg(w)) over the shared neighbors — the same wedge
+    rows, one extra map-side-combinable sum in the SAME aggregation
+    (zero extra shuffle; each wedge row carries the apex degree it
+    already joined for the governor). nx.adamic_adar_index parity is
+    test-gated with a float tolerance rather than hash-gated in the
+    driver contract: ``ln`` is only 1-ulp-accurate and not guaranteed
+    bit-identical across the JVM, DuckDB's libm, and CPython, so a
+    micros hash would be flaky by construction. 1/ln(deg(w)) is
+    always finite: a shared neighbor has degree >= 2 by definition,
+    so ln(deg) >= ln 2.
     """
     und = _simple_undirected(edges)
     # adjacency, both orientations: apex w -> neighbor x
@@ -108,31 +122,36 @@ def neighbor_jaccard(
         adj = adj.join(
             deg.where(F.col("deg") > max_apex_degree).select("w"), "w", "left_anti"
         )
+    if adamic_adar:
+        adj = adj.join(deg.withColumnRenamed("deg", "deg_w"), "w")
     adj = adj.repartition("w")  # co-partition the wedge self-join
+    aggs = [F.count("*").alias("common")]
+    if adamic_adar:
+        aggs.append(
+            F.sum(1.0 / F.log(F.col("l.deg_w"))).alias("adamic_adar")
+        )
     pairs = (
         adj.alias("l")
         .join(adj.alias("r"), "w")
         .where(F.col("l.x") < F.col("r.x"))
-        .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
+        .groupBy(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+        .agg(*aggs)
         .where(F.col("common") >= min_common)
     )
     if not include_existing:
         pairs = pairs.join(und, ["a", "b"], "left_anti")
     da = deg.select(F.col("w").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("w").alias("b"), F.col("deg").alias("deg_b"))
-    return (
-        pairs.join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
-            "common",
-            (F.col("deg_a") + F.col("deg_b") - F.col("common")).alias("union_size"),
-            (
-                F.col("common")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
-            ).alias("jaccard"),
-        )
-    )
+    out_cols = [
+        F.col("a"),
+        F.col("b"),
+        F.col("common"),
+        (F.col("deg_a") + F.col("deg_b") - F.col("common")).alias("union_size"),
+        (
+            F.col("common")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+        ).alias("jaccard"),
+    ]
+    if adamic_adar:
+        out_cols.append(F.col("adamic_adar"))
+    return pairs.join(da, "a").join(db, "b").select(*out_cols)

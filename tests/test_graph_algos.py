@@ -970,3 +970,25 @@ def test_neighbor_jaccard_hub_governor(spark):
     assert sorted((r["a"], r["b"], r["common"], r["union_size"]) for r in rows) == [
         ("u", "v", 1, 3), ("u", "w", 1, 3), ("v", "w", 1, 3)
     ]
+
+
+@pytest.mark.parametrize("gname", ["erdos", "hub", "islands"])
+def test_adamic_adar_vs_networkx(spark, gname):
+    """adamic_adar=True adds sum_w 1/ln(deg(w)) in the SAME wedge
+    aggregation; nx.adamic_adar_index parity at float tolerance (ln is
+    1-ulp libm arithmetic, deliberately not hash-gated)."""
+    from knext_spark.graph import neighbor_jaccard
+
+    pairs = [(a, b) for a, b in GRAPHS[gname] if a != b]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    want = {
+        tuple(sorted((u, v))): s
+        for u, v, s in nx.adamic_adar_index(G)
+        if s > 0
+    }
+    rows = neighbor_jaccard(_edge_df(spark, pairs), adamic_adar=True).collect()
+    got = {(r["a"], r["b"]): r["adamic_adar"] for r in rows}
+    assert set(got) == set(want), gname
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (gname, k)
