@@ -182,3 +182,56 @@ def test_combinations_order_matches_itertools(spark, tokens):
     [row] = spark.range(1).select(_combinations(arr).alias("c")).collect()
     got = [(p["a"], p["b"]) for p in row["c"]]
     assert got == list(itertools.combinations(tokens, 2))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([f"n{i}" for i in range(12)]),
+            st.sampled_from([f"n{i}" for i in range(12)]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_neighbor_jaccard_invariants_random_graphs(spark, edges):
+    """Structural invariants on random digraphs, independent of shape:
+    every emitted pair is a non-edge of the simple graph; common <=
+    min(deg_a, deg_b); union = deg_a + deg_b - common >= common;
+    0 < jaccard <= 1; and the emitted pair set is exactly
+    nx.jaccard_coefficient's positive-score non-edges."""
+    import networkx as nx
+
+    from knext_spark.graph import neighbor_jaccard
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs],
+        "src string, dst string, weight double",
+    )
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    deg = dict(G.degree())
+    want = {
+        tuple(sorted((u, v)))
+        for u, v in nx.non_edges(G)
+        if len(set(G[u]) & set(G[v])) >= 1
+    }
+    rows = neighbor_jaccard(df).collect()
+    got = set()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert a < b
+        assert not G.has_edge(a, b)
+        assert 1 <= r["common"] <= min(deg[a], deg[b])
+        assert r["union_size"] == deg[a] + deg[b] - r["common"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        got.add((a, b))
+    assert got == want
