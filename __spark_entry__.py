@@ -348,6 +348,26 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile (pipeline/text.py:corpus_profile):
+    one scan, one exchange; mean quality is a dyadic-rational sum
+    (exact in any order) and the exact interpolated percentiles match
+    DuckDB's quantile_cont definition (type-7, rank = p*(n-1))."""
+    from knext_spark.pipeline import corpus_profile
+
+    out = corpus_profile(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "pred_lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        _micros(F.col("mean_quality")).alias("mean_quality_micros"),
+        _micros(F.col("p50_tokens")).alias("p50_tokens_micros"),
+        _micros(F.col("p90_tokens")).alias("p90_tokens_micros"),
+        _micros(F.col("p99_tokens")).alias("p99_tokens_micros"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from knext_spark.pipeline import doc_fingerprint
 
@@ -905,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": q_deterministic_split,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "corpus_profile": q_corpus_profile,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -1815,6 +1836,39 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_sql(),
         "deterministic_split": _split_sql(),
         "lang_id": _lang_sql(),
+        "corpus_profile": f"""
+            with l as ({_lang_sql()}),
+            qq as (
+              select doc_id,
+                     len({_TOKENS}) as n_tok,
+                     length(text) as n_chars,
+                     length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n]', '', 'g')) as punct,
+                     len(list_filter({_TOKENS}, t -> list_contains({_sql_list(_STOP)}, t))) as n_stop_freq,
+                     case when len({_TOKENS}) > 0
+                          then list_reduce(list_transform({_TOKENS}, t -> length(t)), (x,y) -> x+y)::double / len({_TOKENS})
+                          else 0.0 end as mean_tok_len
+              from documents
+            ),
+            p as (
+              select doc_id, n_tok, n_chars,
+                     ((case when n_tok between 20 and 10000 then 1.0 else 0.0 end)
+                      + (case when (case when n_chars > 0 then punct / n_chars else 0.0 end) <= 0.2 then 1.0 else 0.0 end)
+                      + (case when (case when n_tok > 0 then n_stop_freq / n_tok else 0.0 end) >= 0.05 then 1.0 else 0.0 end)
+                      + (case when mean_tok_len >= 2.5 and mean_tok_len <= 10.0 then 1.0 else 0.0 end)
+                     ) / 4.0 as quality
+              from qq
+            )
+            select l.pred_lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(p.n_tok) as bigint) as total_tokens,
+                   cast(sum(p.n_chars) as bigint) as total_chars,
+                   cast(floor(avg(p.quality) * 1000000 + 0.5) as bigint) as mean_quality_micros,
+                   cast(floor(quantile_cont(p.n_tok, 0.5) * 1000000 + 0.5) as bigint) as p50_tokens_micros,
+                   cast(floor(quantile_cont(p.n_tok, 0.9) * 1000000 + 0.5) as bigint) as p90_tokens_micros,
+                   cast(floor(quantile_cont(p.n_tok, 0.99) * 1000000 + 0.5) as bigint) as p99_tokens_micros
+            from l join p using (doc_id)
+            group by l.pred_lang
+        """,
         "doc_fingerprint": f"""
             select doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as exact_fp,

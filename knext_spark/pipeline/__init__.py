@@ -20,6 +20,7 @@ Design rules:
 """
 
 from knext_spark.pipeline.text import (  # noqa: F401
+    corpus_profile,
     doc_fingerprint,
     lang_id,
     quality_score,

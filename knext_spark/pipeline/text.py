@@ -37,17 +37,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + composite score:
-
-    - length score: docs under 20 tokens or over 10k tokens are low
-      quality for training;
-    - punctuation ratio: non-alnum-non-space chars / chars;
-    - stopword ratio: english stopword tokens / tokens (a floor of
-      natural-language-ness);
-    - mean token length (gibberish/code detector).
-    Composite = mean of the four component scores, in [0, 1].
-    """
+def _quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The quality feature expressions, shared verbatim between
+    :func:`quality_score` (per-doc contract surface) and
+    :func:`corpus_profile` (one-scan aggregate)."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
@@ -68,24 +61,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.when(n_tok > 0, n_stop_freq / n_tok).otherwise(F.lit(0.0))
     stop_score = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.0)
     tok_len_score = F.when((mean_tok_len >= 2.5) & (mean_tok_len <= 10.0), 1.0).otherwise(0.0)
+    return {
+        "n_tokens": n_tok,
+        "punct_ratio": punct_ratio.cast("double"),
+        "stopword_ratio": stop_ratio.cast("double"),
+        "mean_token_len": mean_tok_len.cast("double"),
+        "distinct_stopwords": n_stop,
+        "quality": (
+            (len_score + punct_score + stop_score + tok_len_score) / 4.0
+        ).cast("double"),
+    }
 
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+
+    - length score: docs under 20 tokens or over 10k tokens are low
+      quality for training;
+    - punctuation ratio: non-alnum-non-space chars / chars;
+    - stopword ratio: english stopword tokens / tokens (a floor of
+      natural-language-ness);
+    - mean token length (gibberish/code detector).
+    Composite = mean of the four component scores, in [0, 1].
+    """
+    e = _quality_exprs(text_col)
     return df.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        punct_ratio.cast("double").alias("punct_ratio"),
-        stop_ratio.cast("double").alias("stopword_ratio"),
-        mean_tok_len.cast("double").alias("mean_token_len"),
-        n_stop.alias("distinct_stopwords"),
-        ((len_score + punct_score + stop_score + tok_len_score) / 4.0)
-        .cast("double")
-        .alias("quality"),
+        "doc_id", *[e[k].alias(k) for k in (
+            "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+            "distinct_stopwords", "quality",
+        )]
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic: per language, count token hits
-    against a 10-word inventory; predict the argmax (ties: lexicographic
-    language code; zero hits -> 'und')."""
+def _lang_best(text_col: str = "text") -> Column:
+    """The argmax (hits, code) struct shared between :func:`lang_id`
+    and :func:`corpus_profile`."""
     toks = tokens_col(text_col)
     scores = []
     for code, markers in sorted(LANG_MARKERS.items()):
@@ -97,7 +107,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     # argmax hits, tie-break min code: sort by (-hits, code) -> take first
-    best = F.array_sort(
+    return F.array_sort(
         F.array(*scores),
         lambda a, b: F.when(a["hits"] > b["hits"], -1)
         .when(a["hits"] < b["hits"], 1)
@@ -105,10 +115,58 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(a["code"] > b["code"], 1)
         .otherwise(0),
     )[0]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: per language, count token hits
+    against a 10-word inventory; predict the argmax (ties: lexicographic
+    language code; zero hits -> 'und')."""
+    best = _lang_best(text_col)
     return df.select(
         "doc_id",
         F.when(best["hits"] > 0, best["code"]).otherwise("und").alias("pred_lang"),
         best["hits"].alias("marker_hits"),
+    )
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus profile — the reporting aggregate a
+    training-data pipeline runs after filtering: doc / token / char
+    totals, mean composite quality, and exact interpolated
+    token-count quantiles (p50/p90/p99) grouped by predicted language.
+
+    Scale shape: ONE scan (all features are projections of the same
+    row — reuses :func:`_lang_best` and :func:`_quality_exprs` rather
+    than joining the per-doc operator outputs, which would cost three
+    scans and two shuffles) and ONE exchange (the groupBy on the
+    ~5-value language key; count/sum are map-side combinable, the
+    exact percentile collects per-group token counts and is the
+    documented small-group-cardinality trade-off — for a truly huge
+    group count switch to approx_percentile).
+
+    The mean quality is exactly cross-engine reproducible: each
+    composite is a dyadic rational (k/4), so the double sum is exact
+    in any order.
+    """
+    best = _lang_best(text_col)
+    q = _quality_exprs(text_col)
+    per_doc = df.select(
+        F.when(best["hits"] > 0, best["code"]).otherwise("und").alias("pred_lang"),
+        F.size(tokens_col(text_col)).alias("re_tokens"),
+        F.length(text_col).alias("chars"),
+        q["quality"].alias("quality"),
+    )
+    return per_doc.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("re_tokens").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.avg("quality").alias("mean_quality"),
+        F.expr("percentile(re_tokens, array(0.5, 0.9, 0.99))").alias("_tq"),
+    ).select(
+        "pred_lang", "n_docs", "total_tokens", "total_chars", "mean_quality",
+        F.col("_tq")[0].alias("p50_tokens"),
+        F.col("_tq")[1].alias("p90_tokens"),
+        F.col("_tq")[2].alias("p99_tokens"),
     )
 
 

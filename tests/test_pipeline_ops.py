@@ -742,3 +742,33 @@ def test_dedup_clusters_default_minhash_path(spark, tmp_path):
     assert by_id[10]["cluster"] == by_id[11]["cluster"] == 10
     assert by_id[10]["is_canonical"] and not by_id[11]["is_canonical"]
     assert by_id[12]["cluster"] == 12 and by_id[12]["is_canonical"]
+
+
+def test_corpus_profile_hand_computed(spark):
+    """Profile of a tiny corpus with known groups: quantile
+    interpolation (type-7: rank = p*(n-1)), dyadic mean quality,
+    per-language grouping with the lang_id tie rules."""
+    from knext_spark.pipeline import corpus_profile, lang_id, quality_score
+
+    texts = [
+        (1, "the cat and the dog run to the park in the morning light"),
+        (2, "the quick brown fox is in that old barn and it was warm for days"),
+        (3, "zzz qqq xxx"),  # no markers -> und
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["pred_lang"]: r for r in corpus_profile(docs).collect()}
+    assert set(rows) == {"en", "und"}
+    en = rows["en"]
+    # doc1: 13 tokens, doc2: 15 tokens -> p50 = 13 + 0.5*(15-13) = 14.0
+    assert en["n_docs"] == 2
+    assert en["total_tokens"] == 13 + 15
+    assert en["p50_tokens"] == 14.0
+    assert en["p90_tokens"] == 13 + 0.9 * 2
+    # mean quality must equal the average of the per-doc operator's
+    # quality column exactly (dyadic rationals sum exactly)
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert en["mean_quality"] == (q[1] + q[2]) / 2
+    assert rows["und"]["n_docs"] == 1
+    # grouping key matches the per-doc operator
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs == {1: "en", 2: "en", 3: "und"}
