@@ -614,6 +614,26 @@ def q_triangles(spark, sf_dir):
     )
 
 
+_BFS_HOPS = 20  # engine max_iter == oracle recursion horizon
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances (graph/bfs.py) from the ~1% of
+    nodes with node % 100 == 0; NULL beyond the shared _BFS_HOPS
+    horizon (both engines cap identically, so the bound is inert on
+    this small-diameter graph but alignment-safe in principle)."""
+    from knext_spark.graph import bfs_distances
+
+    edges = _edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    return bfs_distances(edges, seeds, max_iter=_BFS_HOPS).select("node", "dist")
+
+
 def q_clustering_coef(spark, sf_dir):
     """nx.clustering parity (graph/linkpred.py); micros so the double
     division hashes identically cross-engine (both sides compute the
@@ -945,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_stats": q_payload_stats,
         "media_features": q_media_features,
         "triangles": q_triangles,
+        "bfs_distances": q_bfs_distances,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
         "pagerank": q_pagerank,
@@ -2053,6 +2074,31 @@ def oracle_sql() -> dict[str, str]:
             cnt as (select node, count(*) as c from tn group by node)
             select nodes.node, cast(coalesce(cnt.c, 0) as bigint) as triangles
             from nodes left join cnt using (node)
+        """,
+        "bfs_distances": f"""
+            with recursive e as (
+              select distinct src, dst from ({_EDGE_SQL})
+            ),
+            -- NOT `union`: under WITH RECURSIVE, DuckDB 1.0 gives any
+            -- `A union B` CTE recursive-iteration semantics (no dedup
+            -- between base and step) even without a self-reference —
+            -- `select 1 union select 1` yields TWO rows there
+            nodes as (
+              select distinct node from (
+                select src as node from e union all select dst from e
+              )
+            ),
+            seeds as (select node from nodes where node % 100 = 0),
+            r(node, d) as (
+              select node, 0 from seeds
+              union
+              select e.dst, r.d + 1
+              from r join e on e.src = r.node
+              where r.d < {_BFS_HOPS}
+            ),
+            md as (select node, min(d) as dist from r group by node)
+            select nodes.node, cast(md.dist as bigint) as dist
+            from nodes left join md using (node)
         """,
         "clustering_coef": f"""
             with e as ({edge}),

@@ -9,12 +9,13 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume for the iterative ones (pagerank
                 takes --personalization, a parquet of (node, p)
                 teleport seeds; jaccard takes --min-common and the
-                --max-apex-degree hub governor)
+                --max-apex-degree hub governor; bfs takes --sources,
+                a parquet of (node) seeds, and --direction)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -112,6 +113,7 @@ def _edges_df(spark, path):
 
 def cmd_graph(args):
     from knext_spark.graph import (
+        bfs_distances_run,
         clustering_coefficient,
         connected_components,
         hits,
@@ -175,6 +177,14 @@ def cmd_graph(args):
             resume=args.resume, cadence=args.cadence,
             salt_k=salt_k,
             hot_threshold=hot if hot in ("auto", "off") else int(hot),
+        )
+    elif args.verb == "bfs":
+        # --sources: parquet of (node) seed rows
+        res = bfs_distances_run(
+            spark, edges, spark.read.parquet(args.sources),
+            direction=args.direction, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume, cadence=args.cadence,
+            max_iter=args.max_iter,
         )
     elif args.verb == "clustering":
         clustering_coefficient(edges).write.mode("overwrite").parquet(args.out)
@@ -257,7 +267,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     for verb in (
         "pagerank", "hits", "cc", "scc", "lpa", "triangles",
-        "clustering", "jaccard",
+        "clustering", "jaccard", "bfs",
     ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
@@ -277,6 +287,9 @@ def build_parser() -> argparse.ArgumentParser:
         # jaccard only: selectivity floor + hub governor
         s.add_argument("--min-common", type=int, default=1)
         s.add_argument("--max-apex-degree", type=int, default=None)
+        # bfs only: seed parquet (node) + edge direction
+        s.add_argument("--sources", default=None)
+        s.add_argument("--direction", default="out", choices=["out", "in", "both"])
         s.set_defaults(fn=cmd_graph)
     return p
 

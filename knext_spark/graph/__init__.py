@@ -33,3 +33,4 @@ from knext_spark.graph.linkpred import (  # noqa: F401
     clustering_coefficient,
     neighbor_jaccard,
 )
+from knext_spark.graph.bfs import bfs_distances, bfs_distances_run  # noqa: F401

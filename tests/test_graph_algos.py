@@ -992,3 +992,83 @@ def test_adamic_adar_vs_networkx(spark, gname):
     assert set(got) == set(want), gname
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (gname, k)
+
+
+# ------------------------------------------------------- BFS (round 5)
+def _nx_bfs(pairs, seeds, direction="out"):
+    """Hand-rolled multi-source BFS (this networkx build does not
+    export multi_source_shortest_path_length at top level)."""
+    G = nx.DiGraph()
+    G.add_edges_from(pairs)
+    for s in seeds:
+        G.add_node(s)
+    H = G.reverse() if direction == "in" else (G.to_undirected() if direction == "both" else G)
+    dist = {s: 0 for s in set(seeds)}
+    frontier = sorted(dist)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in H.successors(u) if H.is_directed() else H.neighbors(u):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+@pytest.mark.parametrize("direction", ["out", "both"])
+def test_bfs_distances_vs_networkx(spark, gname, direction):
+    from knext_spark.graph import bfs_distances
+
+    pairs = GRAPHS[gname]
+    all_nodes = sorted({n for p in pairs for n in p})
+    seeds = all_nodes[::7] or all_nodes[:1]  # deterministic sparse seed set
+    want = _nx_bfs(pairs, seeds, direction)
+    e = _edge_df(spark, pairs)
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s, direction=direction).collect()}
+    # engine reports every graph node: unreached = None
+    assert set(got) == {n for p in pairs for n in p} | set(seeds)
+    for n, d in got.items():
+        assert d == want.get(n), (gname, direction, n, d, want.get(n))
+    for n, d in want.items():
+        assert got[n] == d
+
+
+def test_bfs_distances_resume_identical(spark, tmp_path):
+    """Kill after 1 round of a 4-hop chain, resume: distances must be
+    bit-identical to an uninterrupted run."""
+    from knext_spark.graph import bfs_distances_run
+
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(8)]
+    e = _edge_df(spark, pairs).select("src", "dst")
+    s = spark.createDataFrame([("c0",)], "node string")
+    full = bfs_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "f"), run_id="r"
+    )
+    assert full.converged and full.iterations == 9  # 8 hops + empty round
+    part = bfs_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "p"), run_id="r", max_iter=1
+    )
+    assert not part.converged
+    resumed = bfs_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "p"), run_id="r", resume=True
+    )
+    assert resumed.converged
+    a = sorted((r["node"], r["dist"]) for r in full.state.collect())
+    b = sorted((r["node"], r["dist"]) for r in resumed.state.collect())
+    assert a == b == [(f"c{i}", i) for i in range(9)]
+
+
+def test_bfs_seed_outside_graph(spark):
+    """A seed absent from the edge table is still a root (dist 0) and
+    the graph stays NULL-distanced if unreachable from it."""
+    from knext_spark.graph import bfs_distances
+
+    e = _edge_df(spark, [("a", "b")]).select("src", "dst")
+    s = spark.createDataFrame([("z",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == {"z": 0, "a": None, "b": None}
