@@ -1224,13 +1224,15 @@ def run_recall(sf_dir: str) -> dict:
 
 
 def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
-    """Two-level scaling evidence for the round-5 linkpred operators:
-    local clustering coefficient (degree-oriented triangle reuse) and
-    neighbor-Jaccard link prediction (apex wedge join under the
-    max_apex_degree hub governor — the KGML gene graph is hub-skewed,
-    so an UNgoverned wedge join is exactly the quadratic blow-up the
-    governor exists to prevent; the governed run is the production
-    configuration being measured).
+    """Two-level scaling evidence for the round-5 one-shot graph
+    operators: local clustering coefficient (degree-oriented triangle
+    reuse), neighbor-Jaccard link prediction (apex wedge join under
+    the max_apex_degree hub governor — the KGML gene graph is
+    hub-skewed, so an UNgoverned wedge join is exactly the quadratic
+    blow-up the governor exists to prevent; the governed run is the
+    production configuration being measured), and multi-source BFS
+    distances from a deterministic ~1% seed set (full job including
+    the superstep runner's per-round Parquet commits).
 
     Protocol mirrors --graph-extra: one KGML-parse -> xxhash64-encode
     edge table written once to shared Parquet; each level reads the
@@ -1238,7 +1240,11 @@ def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
     action) per operator, min over SPARK_GRAFT_LP_RUNS runs,
     edges/sec + per-pair scaling efficiency."""
     from knext_spark.session import get_spark
-    from knext_spark.graph import clustering_coefficient, neighbor_jaccard
+    from knext_spark.graph import (
+        bfs_distances,
+        clustering_coefficient,
+        neighbor_jaccard,
+    )
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     if os.environ.get("SPARK_GRAFT_LP_LEVELS"):
@@ -1286,6 +1292,12 @@ def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
         edges = spark.read.parquet(edge_dir).persist()
         n_edges = edges.count()
         level = {"n_edges": n_edges}
+        seeds = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .where(F.pmod(F.xxhash64("node"), F.lit(100)) == 0)
+        )
         for name, fn in (
             ("clustering", lambda: clustering_coefficient(edges)),
             (
@@ -1294,6 +1306,9 @@ def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
                     edges, min_common=min_common, max_apex_degree=apex_cap
                 ),
             ),
+            # ~1% deterministic in-graph seed set, like --graph-extra's
+            # PPR seeds; full job incl. the per-round commits
+            ("bfs", lambda: bfs_distances(edges, seeds, max_iter=50)),
         ):
             walls, rows = [], None
             for _ in range(runs):
@@ -1313,7 +1328,7 @@ def run_linkpred(sf_dir: str, levels=(2, 8)) -> dict:
 
     pairs = {}
     for lo, hi in zip(levels, levels[1:]):
-        for algo in ("clustering", "jaccard"):
+        for algo in ("clustering", "jaccard", "bfs"):
             pairs[f"{algo}:{lo}->{hi}"] = round(
                 out[f"local[{hi}]"][algo]["edges_per_sec"]
                 / out[f"local[{lo}]"][algo]["edges_per_sec"]
