@@ -368,6 +368,79 @@ def q_corpus_profile(spark, sf_dir):
     )
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII scrubbing (pipeline/text.py:scrub_pii) over documents
+    ENRICHED with deterministic synthetic PII (doc_id-derived email /
+    IPv4 / phone / SSN-shaped suffixes built identically in both
+    engines) so every pattern actually fires. Patterns come from the
+    single PII_PATTERNS source of truth; output text compared by md5."""
+    from knext_spark.pipeline import scrub_pii
+
+    d = _read(spark, sf_dir, "documents")
+    enriched = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 01"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" id 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = scrub_pii(enriched)
+    from knext_spark.pipeline.text import PII_PATTERNS
+
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("scrubbed_md5"),
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+
+
+def _scrub_pii_sql() -> str:
+    from knext_spark.pipeline.text import PII_PATTERNS
+
+    enrich = """
+      select doc_id,
+             text || ' contact user' || cast(doc_id as varchar)
+                  || '@example.com from 10.0.'
+                  || cast(doc_id % 256 as varchar) || '.7'
+                  || case when doc_id % 3 = 0
+                          then ' call +1 (555) 01' || cast(doc_id % 90 + 10 as varchar)
+                          else '' end
+                  || case when doc_id % 5 = 0 then ' id 123-45-6789' else '' end
+               as text
+      from documents
+    """
+    scrubbed = "text"
+    counts, total = [], []
+    for name, pat, token in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        counts.append(
+            f"cast(len(regexp_extract_all(text, '{lit}')) as bigint) as n_{name}"
+        )
+        total.append(f"n_{name}")
+        scrubbed = f"regexp_replace({scrubbed}, '{lit}', '{token}', 'g')"
+    return f"""
+        with enr as ({enrich})
+        select doc_id,
+               md5({scrubbed}) as scrubbed_md5,
+               {', '.join(counts)},
+               cast({' + '.join(total)} as bigint) as n_pii
+        from enr
+    """
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from knext_spark.pipeline import doc_fingerprint
 
@@ -946,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "corpus_profile": q_corpus_profile,
+        "scrub_pii": q_scrub_pii,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -1857,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_sql(),
         "deterministic_split": _split_sql(),
         "lang_id": _lang_sql(),
+        "scrub_pii": _scrub_pii_sql(),
         "corpus_profile": f"""
             with l as ({_lang_sql()}),
             qq as (

@@ -188,3 +188,41 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm.cast("binary")).alias("exact_fp"),
         F.when(n > 0, F.array_min(shingle_hashes)).alias("rolling_fp"),
     )
+
+
+# PII patterns in the Java-regex ∩ RE2 common subset (no lookarounds,
+# no backreferences; \b is ASCII-equivalent on this data) so the
+# DuckDB oracle applies the IDENTICAL patterns. Order matters and is
+# part of the contract: emails first (their local part can contain
+# digit runs a later pattern might chew up), then SSN-shaped ids,
+# then IPv4, then the conservative phone shape.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\-. ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails / SSN-shaped ids / IPv4s / +international phones —
+    the redaction pass a training-data pipeline runs before anything
+    else sees the text. Pure Catalyst ``regexp_replace`` chain plus
+    per-pattern hit counts (``regexp_count`` on the ORIGINAL text, so
+    counts are independent of replacement order even though the
+    scrubbed text is order-sensitive by design).
+
+    Cost at any scale: a projection (no shuffle, no UDF). Patterns are
+    deliberately in the Java-regex ∩ RE2 subset so the same strings
+    drive the DuckDB oracle; the conservative phone shape (leading
+    ``+``) trades recall for a near-zero false-positive rate on
+    numeric prose — loosening it is a caller decision, not a default.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        "doc_id", scrubbed.alias(text_col), *counts
+    ).withColumn("n_pii", sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS))

@@ -772,3 +772,27 @@ def test_corpus_profile_hand_computed(spark):
     # grouping key matches the per-doc operator
     langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     assert langs == {1: "en", 2: "en", 3: "und"}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    """Hand-crafted strings: each pattern masks its span, counts come
+    from the ORIGINAL text, clean text passes through bit-identical."""
+    from knext_spark.pipeline import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and 192.168.0.1 now"),
+            (2, "call +44 (0) 7700-900123 re id 078-05-1120"),
+            (3, "nothing sensitive here, just 3.14 and v1.2.3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[1]["text"] == "mail <EMAIL> and <IP> now"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_pii"]) == (1, 1, 2)
+    assert rows[2]["text"] == "call <PHONE> re id <SSN>"
+    assert (rows[2]["n_phone"], rows[2]["n_ssn"], rows[2]["n_pii"]) == (1, 1, 2)
+    # version strings / decimals are NOT IPv4s (needs 4 octets), and
+    # un-prefixed digit runs are not phones (conservative + anchor)
+    assert rows[3]["text"] == "nothing sensitive here, just 3.14 and v1.2.3"
+    assert rows[3]["n_pii"] == 0
