@@ -11,11 +11,16 @@ lists -> graph analysis), re-expressed Spark-first:
 - the knext edge semantics (naming, clique expansion, aggregation,
   compound propagation, ID conversion) as declarative DataFrame plans
   (``knext/``),
-- iterative DataFrame-join graph algorithms — PageRank, connected
-  components, label propagation, triangle counting — with per-superstep
-  checkpoint/resume (``graph/``),
-- large-scale training-data pipeline operators (dedup, similarity
-  search, text analysis, multimodal plumbing) (``pipeline/``).
+- iterative DataFrame-join graph algorithms — PageRank (plain and
+  personalized), connected components (weak and strong), label
+  propagation, triangle counting, k-core, HITS, multi-source BFS
+  distances — with per-superstep checkpoint/resume, plus one-shot
+  clustering-coefficient and neighbor-Jaccard/Adamic-Adar link
+  prediction (``graph/``),
+- large-scale training-data pipeline operators (dedup incl. transitive
+  cluster closure, similarity search, text analysis, corpus profiling,
+  PII scrubbing, deterministic splits, multimodal plumbing, temporal
+  joins, sessionization) (``pipeline/``, ``streaming/``).
 
 No per-row Python anywhere in the hot path: plans are built-in
 pyspark.sql.functions expressions; the only Python on executors is
