@@ -143,3 +143,51 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
         for r in sessionize(events, gap_minutes=30).collect()
     }
     assert got == batch
+
+
+def test_projection_ops_stream_equals_batch(spark, tmp_path):
+    """The stateless pipeline projections (scrub_pii, lang_id,
+    token_count, quality_score) compose with Structured Streaming
+    as-is — no shuffle, no state — and a streamed run over the same
+    parquet bytes must equal the batch run row-for-row."""
+    from knext_spark.pipeline import lang_id, scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(str(tmp_path / "docs_src"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path / "docs_src"))
+
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["text"], r["n_pii"])
+        for r in spark.sql("select * from pii_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_pii"]) for r in scrub_pii(docs).collect()
+    }
+    assert got == want and len(got) == 500
+
+    q2 = (
+        lang_id(stream)
+        .writeStream.format("memory")
+        .queryName("lang_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["pred_lang"]
+        for r in spark.sql("select * from lang_stream").collect()
+    }
+    want2 = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got2 == want2
