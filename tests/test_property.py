@@ -235,3 +235,37 @@ def test_neighbor_jaccard_invariants_random_graphs(spark, edges):
         assert 0.0 < r["jaccard"] <= 1.0
         got.add((a, b))
     assert got == want
+
+
+_PII_FRAGMENTS = [
+    "x@y.io", "a.b+c@ex.org", "10.0.0.1", "999.1.2.3", "1.2.3",
+    "078-05-1120", "12-34-5678", "+44 7700 900123", "+1 (555) 0123",
+    "plain words", "v1.2.3.4", "price +12", "a@b", "3.14",
+]
+
+
+@given(st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scrub_pii_matches_python_re(spark, frags):
+    """Cross-engine regex property: on random fragment concatenations,
+    Spark's Java-regex counts equal Python re's (the patterns are
+    pinned to the common subset), and the scrubbed text is exactly
+    Python's sequential re.sub chain."""
+    import re as _re
+
+    from knext_spark.pipeline import scrub_pii
+    from knext_spark.pipeline.text import PII_PATTERNS
+
+    text = " ".join(frags)
+    [row] = scrub_pii(
+        spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ).collect()
+    expect = text
+    for name, pat, token in PII_PATTERNS:
+        assert row[f"n_{name}"] == len(_re.findall(pat, text)), (name, text)
+        expect = _re.sub(pat, token, expect)
+    assert row["text"] == expect, text
