@@ -707,6 +707,24 @@ def q_bfs_distances(spark, sf_dir):
     return bfs_distances(edges, seeds, max_iter=_BFS_HOPS).select("node", "dist")
 
 
+def q_landmark_distances(spark, sf_dir):
+    """Per-seed landmark BFS (graph/landmarks.py): (seed, node, dist)
+    for every reached pair from the node%100 seed set — pure integers,
+    so cross-engine exact; same _BFS_HOPS horizon as bfs_distances."""
+    from knext_spark.graph import landmark_distances
+
+    edges = _edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    return landmark_distances(edges, seeds, max_iter=_BFS_HOPS).select(
+        "seed", "node", "dist"
+    )
+
+
 def q_clustering_coef(spark, sf_dir):
     """nx.clustering parity (graph/linkpred.py); micros so the double
     division hashes identically cross-engine (both sides compute the
@@ -1040,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "triangles": q_triangles,
         "bfs_distances": q_bfs_distances,
+        "landmark_distances": q_landmark_distances,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
         "pagerank": q_pagerank,
@@ -2174,6 +2193,28 @@ def oracle_sql() -> dict[str, str]:
             md as (select node, min(d) as dist from r group by node)
             select nodes.node, cast(md.dist as bigint) as dist
             from nodes left join md using (node)
+        """,
+        "landmark_distances": f"""
+            with recursive e as (
+              select distinct src, dst from ({_EDGE_SQL})
+            ),
+            -- `union all` + outer distinct, NOT `union`: see the
+            -- bfs_distances note on DuckDB WITH RECURSIVE semantics
+            nodes as (
+              select distinct node from (
+                select src as node from e union all select dst from e
+              )
+            ),
+            seeds as (select node from nodes where node % 100 = 0),
+            r(seed, node, d) as (
+              select node, node, 0 from seeds
+              union
+              select r.seed, e.dst, r.d + 1
+              from r join e on e.src = r.node
+              where r.d < {_BFS_HOPS}
+            )
+            select seed, node, cast(min(d) as bigint) as dist
+            from r group by seed, node
         """,
         "clustering_coef": f"""
             with e as ({edge}),

@@ -34,3 +34,9 @@ from knext_spark.graph.linkpred import (  # noqa: F401
     neighbor_jaccard,
 )
 from knext_spark.graph.bfs import bfs_distances, bfs_distances_run  # noqa: F401
+from knext_spark.graph.landmarks import (  # noqa: F401
+    closeness_centrality_sampled,
+    harmonic_centrality_sampled,
+    landmark_distances,
+    landmark_distances_run,
+)

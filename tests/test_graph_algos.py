@@ -1072,3 +1072,80 @@ def test_bfs_seed_outside_graph(spark):
     s = spark.createDataFrame([("z",)], "node string")
     got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
     assert got == {"z": 0, "a": None, "b": None}
+
+
+# --------------------------------------------- landmarks (round 5)
+@pytest.mark.parametrize("gname", ["erdos", "chain", "islands", "hub"])
+def test_landmark_distances_vs_per_seed_bfs(spark, gname):
+    """(seed, node, dist) equals an independent per-seed BFS for every
+    landmark."""
+    from knext_spark.graph import landmark_distances
+
+    pairs = GRAPHS[gname]
+    all_nodes = sorted({n for p in pairs for n in p})
+    seeds = all_nodes[::5] or all_nodes[:1]
+    e = _edge_df(spark, pairs)
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in landmark_distances(e, s).collect()
+    }
+    want = {}
+    for seed in seeds:
+        for n, d in _nx_bfs(pairs, [seed], "out").items():
+            want[(seed, n)] = d
+    assert got == want, gname
+
+
+def test_harmonic_and_closeness_sampled(spark):
+    """Reciprocal/mean aggregations over the landmark table match a
+    Python recomputation from the same per-seed BFS distances."""
+    from knext_spark.graph import (
+        closeness_centrality_sampled,
+        harmonic_centrality_sampled,
+    )
+
+    pairs = GRAPHS["erdos"]
+    all_nodes = sorted({n for p in pairs for n in p})
+    seeds = all_nodes[::6]
+    e = _edge_df(spark, pairs)
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    per_seed = {seed: _nx_bfs(pairs, [seed], "out") for seed in seeds}
+    want_h, want_c = {}, {}
+    for n in all_nodes:
+        ds = [per_seed[seed][n] for seed in seeds
+              if n in per_seed[seed] and per_seed[seed][n] > 0]
+        if ds:
+            want_h[n] = sum(1.0 / d for d in ds)
+            want_c[n] = len(ds) / sum(ds)
+    got_h = {r["node"]: r["harmonic"]
+             for r in harmonic_centrality_sampled(e, s).collect()}
+    got_c = {r["node"]: r["closeness"]
+             for r in closeness_centrality_sampled(e, s).collect()}
+    assert set(got_h) == set(want_h) and set(got_c) == set(want_c)
+    for n in want_h:
+        assert abs(got_h[n] - want_h[n]) < 1e-9
+        assert abs(got_c[n] - want_c[n]) < 1e-12
+
+
+def test_landmark_resume_identical(spark, tmp_path):
+    from knext_spark.graph import landmark_distances_run
+
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(6)] + [("z0", "c3")]
+    e = _edge_df(spark, pairs).select("src", "dst")
+    s = spark.createDataFrame([("c0",), ("z0",)], "node string")
+    full = landmark_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "f"), run_id="r"
+    )
+    part = landmark_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "p"), run_id="r", max_iter=1
+    )
+    assert not part.converged
+    resumed = landmark_distances_run(
+        spark, e, s, checkpoint_dir=str(tmp_path / "p"), run_id="r", resume=True
+    )
+    assert resumed.converged
+    a = sorted(map(tuple, full.state.collect()))
+    b = sorted(map(tuple, resumed.state.collect()))
+    assert a == b
+    assert ("z0", "c6", 4) in set(a)  # z0 -> c3 -> ... -> c6
