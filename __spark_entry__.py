@@ -754,6 +754,75 @@ def q_neighbor_jaccard(spark, sf_dir):
     )
 
 
+def q_link_features(spark, sf_dir):
+    """Preferential-attachment link-prediction scores on the same
+    sparse contract graph as neighbor_jaccard: deg(a)*deg(b) is a
+    pure-integer product, so values hash exactly cross-engine (the
+    adamic_adar / resource_allocation float SUMS are test-gated with a
+    tolerance instead — accumulation order is engine-specific)."""
+    from knext_spark.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _edge_table(spark, sf_dir, mod=5000),
+        min_common=3,
+        preferential_attachment=True,
+    ).select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.col("preferential_attachment"),
+    )
+
+
+def q_modularity(spark, sf_dir):
+    """Per-community Newman modularity breakdown (graph/modularity.py)
+    for the deterministic node%7 labeling: internal edge and degree
+    totals are exact integers, each community's contribution is a
+    fixed dag of correctly-rounded IEEE ops on them — micros-safe
+    (the SCALAR Q, a float sum over this frame, is nx-test-gated)."""
+    from knext_spark.graph import community_contributions
+
+    edges = _edge_table(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 7).alias("label"))
+    )
+    return community_contributions(edges, labels).select(
+        "label",
+        "internal_edges",
+        "degree_sum",
+        _micros(F.col("contribution")).alias("contribution_micros"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen (pipeline/contamination.py):
+    every ~97th document stands in for the eval suite; counts are
+    integers and the ratio one two-integer division — micros-safe."""
+    from knext_spark.pipeline import contamination
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination(docs, bench, w=3).select(
+        "doc_id",
+        "n_ngrams",
+        "n_hits",
+        _micros(F.col("contamination")).alias("contamination_micros"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-and-chunk packing assignment
+    (pipeline/packing.py): md5-sharded streams, window prefix sums,
+    integer DIV chunk ids — every output column an integer."""
+    from knext_spark.pipeline import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
 _PR_ITERS = 10  # fixed-iteration contract mode; oracle unrolls the same K
 
 
@@ -770,6 +839,30 @@ def q_pagerank(spark, sf_dir):
         max_iter=_PR_ITERS,
         checkpoint_dir=tempfile.mkdtemp(prefix="q_pr_"),
         run_id="q",
+        cadence=50,
+    )
+    return res.state.select("node", _micros(F.col("rank")).alias("rank_micros"))
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """The WEIGHTED PageRank path (non-uniform edge weights
+    1 + (src+dst) % 5): out-weight sums are integer-valued doubles
+    (exact in any accumulation order), w_norm one division — the same
+    micros determinism argument as q_pagerank, now exercising the
+    weight normalization the uniform row leaves at 1/out_degree."""
+    from knext_spark.graph import pagerank
+
+    edges = _edge_table(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("double"),
+    )
+    res = pagerank(
+        spark,
+        edges,
+        tol=0.0,
+        max_iter=_PR_ITERS,
+        checkpoint_dir=tempfile.mkdtemp(prefix="q_prw_"),
+        run_id="qw",
         cadence=50,
     )
     return res.state.select("node", _micros(F.col("rank")).alias("rank_micros"))
@@ -1061,7 +1154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "link_features": q_link_features,
+        "modularity_communities": q_modularity,
+        "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
         "scc": q_scc,
@@ -1268,7 +1366,9 @@ def _media_features_sql(dim: int = 8) -> str:
     """
 
 
-def _pagerank_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
+def _pagerank_sql(
+    k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL, weighted: bool = False
+) -> str:
     """Unrolled K-step power iteration mirroring knext_spark.graph
     .pagerank op-for-op: w_norm = 1.0/out_w first then rank*w_norm,
     dangling mass via the 1 - sum(contribs) identity, rank' =
@@ -1299,17 +1399,32 @@ def _pagerank_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
              + (cast(1.0 as double) - cast(0.85 as double)) / (select n from nn) as rank
       from nodes left join c{i} on c{i}.node = nodes.node
     )""")
-    return f"""
-    with e as materialized ({edge_sql}),
+    if weighted:
+        # edge_sql must yield (src, dst, weight); integer-valued double
+        # weights sum exactly in any order, so out_w is deterministic
+        norm = """
+    outw as materialized (select src, cast(sum(weight) as double) as out_w from e group by src),
+    ne as materialized (select e.src, e.dst, cast(e.weight as double) / outw.out_w as w_norm
+           from e join outw on outw.src = e.src),"""
+    else:
+        norm = """
     outw as materialized (select src, cast(count(*) as double) as out_w from e group by src),
     ne as materialized (select e.src, e.dst, cast(1.0 as double) / outw.out_w as w_norm
-           from e join outw on outw.src = e.src),
+           from e join outw on outw.src = e.src),"""
+    return f"""
+    with e as materialized ({edge_sql}),{norm}
     nodes as materialized (select src as node from e union select dst as node from e),
     nn as materialized (select count(*) as n from nodes),
     r0 as materialized (select node, cast(1.0 as double) / (select n from nn) as rank from nodes),
     {",".join(its)}
     select node, cast(floor(rank * 1000000 + 0.5) as bigint) as rank_micros from r{k}
     """
+
+
+_WEDGE_SQL = (
+    f"select src, dst, cast(1 + (src + dst) % 5 as double) as weight "
+    f"from ({_EDGE_SQL})"
+)
 
 
 def _ppr_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
@@ -2271,8 +2386,120 @@ def oracle_sql() -> dict[str, str]:
             join deg da on np.a = da.w
             join deg db on np.b = db.w
         """,
+        "link_features": f"""
+            with e as ({_edge_sql(5000)}),
+            e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                   from e where src <> dst),
+            adj as (select a as w, b as x from e0
+                    union all
+                    select b as w, a as x from e0),
+            deg as (select w, count(*) as d from adj group by w),
+            p as (
+              select l.x as a, r.x as b, count(*) as common
+              from adj l join adj r on l.w = r.w and l.x < r.x
+              group by l.x, r.x
+              having count(*) >= 3
+            ),
+            np as (
+              select p.* from p
+              left join e0 on p.a = e0.a and p.b = e0.b
+              where e0.a is null
+            )
+            select np.a, np.b,
+                   cast(np.common as bigint) as common,
+                   cast(da.d * db.d as bigint) as preferential_attachment
+            from np
+            join deg da on np.a = da.w
+            join deg db on np.b = db.w
+        """,
+        "modularity_communities": f"""
+            with e as ({_EDGE_SQL}),
+            e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                   from e where src <> dst),
+            m as (select count(*) as m from e0),
+            nodes as (select src as node from e union select dst as node from e),
+            lab as (select node, node % 7 as label from nodes),
+            deg as (select node, count(*) as d
+                    from (select a as node from e0 union all select b from e0)
+                    group by node),
+            internal as (
+              select la.label as label, count(*) as internal_edges
+              from e0
+              join lab la on e0.a = la.node
+              join lab lb on e0.b = lb.node
+              where la.label = lb.label
+              group by la.label
+            ),
+            dsum as (
+              select lab.label, sum(deg.d) as degree_sum
+              from deg join lab using (node) group by lab.label
+            )
+            select dsum.label,
+                   cast(coalesce(internal.internal_edges, 0) as bigint) as internal_edges,
+                   cast(dsum.degree_sum as bigint) as degree_sum,
+                   cast(floor((
+                     coalesce(internal.internal_edges, 0)::double / (select m from m)
+                     - (dsum.degree_sum::double / (2.0 * (select m from m)))
+                       * (dsum.degree_sum::double / (2.0 * (select m from m)))
+                   ) * 1000000 + 0.5) as bigint) as contribution_micros
+            from dsum left join internal using (label)
+        """,
+        "contamination": f"""
+            with dsh as (
+              select doc_id, unnest({_shingles_sql(3)}) as sh from documents
+            ),
+            bsh as (
+              select distinct sh from (
+                select unnest({_shingles_sql(3)}) as sh
+                from documents where doc_id % 97 = 0
+              )
+            ),
+            agg as (
+              select dsh.doc_id, count(*) as n_ngrams,
+                     sum(case when bsh.sh is not null then 1 else 0 end) as n_hits
+              from dsh left join bsh on dsh.sh = bsh.sh
+              group by dsh.doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(agg.n_ngrams, 0) as bigint) as n_ngrams,
+                   cast(coalesce(agg.n_hits, 0) as bigint) as n_hits,
+                   cast(floor(
+                     case when coalesce(agg.n_ngrams, 0) > 0
+                          then agg.n_hits::double / agg.n_ngrams::double
+                          else 0.0 end * 1000000 + 0.5) as bigint
+                   ) as contamination_micros
+            from documents d left join agg using (doc_id)
+        """,
+        "pack_sequences": """
+            with t as (
+              select doc_id,
+                     md5(cast(doc_id as varchar)) as h,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) as tokens
+              from documents
+            ),
+            s as (
+              select doc_id,
+                     ('0x' || substr(h, 1, 8))::bigint % 8 as shard,
+                     h, cast(tokens as bigint) as tokens
+              from t
+            ),
+            w as (
+              select doc_id, shard, tokens,
+                     sum(tokens) over (partition by shard order by h, doc_id
+                                       rows unbounded preceding) - tokens as off
+              from s
+            )
+            select doc_id,
+                   cast(shard as bigint) as shard,
+                   tokens,
+                   cast(off as bigint) as "offset",
+                   cast(off // 512 as bigint) as bin_start,
+                   cast(greatest(off + tokens - 1, off) // 512 as bigint) as bin_end
+            from w
+        """,
         "media_features": _media_features_sql(8),
         "pagerank": _pagerank_sql(_PR_ITERS),
+        "pagerank_weighted": _pagerank_sql(_PR_ITERS, _WEDGE_SQL, weighted=True),
         "personalized_pagerank": _ppr_sql(_PR_ITERS),
         "hits": _hits_sql(_PR_ITERS),
         "scc": _scc_sql(),

@@ -33,6 +33,10 @@ from knext_spark.graph.linkpred import (  # noqa: F401
     clustering_coefficient,
     neighbor_jaccard,
 )
+from knext_spark.graph.modularity import (  # noqa: F401
+    community_contributions,
+    modularity,
+)
 from knext_spark.graph.bfs import bfs_distances, bfs_distances_run  # noqa: F401
 from knext_spark.graph.landmarks import (  # noqa: F401
     closeness_centrality_sampled,

@@ -89,6 +89,8 @@ def neighbor_jaccard(
     max_apex_degree: Optional[int] = None,
     include_existing: bool = False,
     adamic_adar: bool = False,
+    resource_allocation: bool = False,
+    preferential_attachment: bool = False,
 ) -> DataFrame:
     """Link-prediction candidates (a, b, common, union_size, jaccard
     [, adamic_adar]) over the undirected simple graph, one row per
@@ -111,6 +113,20 @@ def neighbor_jaccard(
     micros hash would be flaky by construction. 1/ln(deg(w)) is
     always finite: a shared neighbor has degree >= 2 by definition,
     so ln(deg) >= ln 2.
+
+    ``resource_allocation=True`` adds the Resource-Allocation index
+    sum_w 1/deg(w) (nx.resource_allocation_index) — the same wedge
+    rows and the same already-joined apex degree as Adamic-Adar, one
+    more map-side-combinable sum in the SAME aggregation (zero extra
+    shuffle). Like Adamic-Adar it is a float SUM whose accumulation
+    order is engine-specific, so parity is test-gated with a
+    tolerance rather than driver-hash-gated.
+
+    ``preferential_attachment=True`` adds the Preferential-Attachment
+    index deg(a)*deg(b) (nx.preferential_attachment) — a pure-integer
+    product of the two endpoint degrees the output already joins for
+    union_size, zero extra work, exact cross-engine (hash-gated in the
+    driver contract).
     """
     und = _simple_undirected(edges)
     # adjacency, both orientations: apex w -> neighbor x
@@ -122,13 +138,18 @@ def neighbor_jaccard(
         adj = adj.join(
             deg.where(F.col("deg") > max_apex_degree).select("w"), "w", "left_anti"
         )
-    if adamic_adar:
+    need_deg_w = adamic_adar or resource_allocation
+    if need_deg_w:
         adj = adj.join(deg.withColumnRenamed("deg", "deg_w"), "w")
     adj = adj.repartition("w")  # co-partition the wedge self-join
     aggs = [F.count("*").alias("common")]
     if adamic_adar:
         aggs.append(
             F.sum(1.0 / F.log(F.col("l.deg_w"))).alias("adamic_adar")
+        )
+    if resource_allocation:
+        aggs.append(
+            F.sum(1.0 / F.col("l.deg_w")).alias("resource_allocation")
         )
     pairs = (
         adj.alias("l")
@@ -154,4 +175,12 @@ def neighbor_jaccard(
     ]
     if adamic_adar:
         out_cols.append(F.col("adamic_adar"))
+    if resource_allocation:
+        out_cols.append(F.col("resource_allocation"))
+    if preferential_attachment:
+        out_cols.append(
+            (F.col("deg_a") * F.col("deg_b"))
+            .cast("long")
+            .alias("preferential_attachment")
+        )
     return pairs.join(da, "a").join(db, "b").select(*out_cols)

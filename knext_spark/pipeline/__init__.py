@@ -28,6 +28,8 @@ from knext_spark.pipeline.text import (  # noqa: F401
     token_count,
     tokens_col,
 )
+from knext_spark.pipeline.contamination import contamination  # noqa: F401
+from knext_spark.pipeline.packing import pack_sequences  # noqa: F401
 from knext_spark.pipeline.dedup import (  # noqa: F401
     dedup_clusters,
     exact_dedup,

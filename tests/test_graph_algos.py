@@ -1149,3 +1149,80 @@ def test_landmark_resume_identical(spark, tmp_path):
     b = sorted(map(tuple, resumed.state.collect()))
     assert a == b
     assert ("z0", "c6", 4) in set(a)  # z0 -> c3 -> ... -> c6
+
+
+# ------------------------------------------------- modularity / link features
+
+
+def test_modularity_vs_networkx(spark):
+    """Scalar Q == nx.algorithms.community.modularity on every
+    adversarial graph shape, labeling = len(node) % 3 (computable
+    identically on both sides); the float SUM over communities is the
+    only engine-ordered accumulation, hence the tolerance gate here
+    (the per-community rows are hash-gated in the driver contract)."""
+    from knext_spark.graph import modularity
+
+    for gname, pairs in sorted(GRAPHS.items()):
+        G = nx.Graph()
+        G.add_edges_from((a, b) for a, b in pairs if a != b)
+        if G.number_of_edges() == 0:
+            continue
+        labels_df = spark.createDataFrame(
+            [(n, len(n) % 3) for n in G.nodes], "node string, label long"
+        )
+        comms: dict[int, set] = {}
+        for n in G.nodes:
+            comms.setdefault(len(n) % 3, set()).add(n)
+        want = nx.algorithms.community.modularity(G, comms.values())
+        got = modularity(_edge_df(spark, pairs), labels_df)
+        assert abs(got - want) < 1e-9, gname
+
+
+def test_modularity_contributions_sum_and_empty(spark):
+    from knext_spark.graph import community_contributions, modularity
+
+    pairs = GRAPHS["erdos"]
+    nodes = sorted({n for p in pairs for n in p})
+    labels_df = spark.createDataFrame(
+        [(n, len(n) % 3) for n in nodes], "node string, label long"
+    )
+    rows = community_contributions(_edge_df(spark, pairs), labels_df).collect()
+    q = modularity(_edge_df(spark, pairs), labels_df)
+    assert abs(sum(r["contribution"] for r in rows) - q) < 1e-12
+    # resolution scales only the degree term
+    q2 = modularity(_edge_df(spark, pairs), labels_df, resolution=2.0)
+    assert q2 < q
+    with pytest.raises(Exception):
+        modularity(
+            _edge_df(spark, [("a", "a")]), labels_df
+        )  # only a self-loop -> empty simple graph
+
+
+def test_link_features_vs_networkx(spark):
+    """adamic_adar / resource_allocation / preferential_attachment all
+    equal the NetworkX functions on the engine's own candidate pairs
+    (floats with tolerance — accumulation order; PA exact integers)."""
+    import math
+
+    from knext_spark.graph import neighbor_jaccard
+
+    pairs = GRAPHS["erdos"]
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    out = neighbor_jaccard(
+        _edge_df(spark, pairs),
+        min_common=1,
+        adamic_adar=True,
+        resource_allocation=True,
+        preferential_attachment=True,
+    ).collect()
+    assert out, "expected candidate pairs on the erdos graph"
+    cand = [(r["a"], r["b"]) for r in out]
+    aa = {(u, v): p for u, v, p in nx.adamic_adar_index(G, cand)}
+    ra = {(u, v): p for u, v, p in nx.resource_allocation_index(G, cand)}
+    pa = {(u, v): p for u, v, p in nx.preferential_attachment(G, cand)}
+    for r in out:
+        k = (r["a"], r["b"])
+        assert math.isclose(r["adamic_adar"], aa[k], rel_tol=1e-9), k
+        assert math.isclose(r["resource_allocation"], ra[k], rel_tol=1e-9), k
+        assert int(r["preferential_attachment"]) == pa[k], k

@@ -796,3 +796,90 @@ def test_scrub_pii_masks_and_counts(spark):
     # un-prefixed digit runs are not phones (conservative + anchor)
     assert rows[3]["text"] == "nothing sensitive here, just 3.14 and v1.2.3"
     assert rows[3]["n_pii"] == 0
+
+
+# ------------------------------------------------ contamination / packing
+
+
+def test_contamination_counts_and_edge_cases(spark):
+    from knext_spark.pipeline import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown fox"),
+            (3, "totally different words here"),
+            (4, ""),
+            (5, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in contamination(docs, bench, w=3).collect()}
+    assert len(got) == 5
+    # bench 3-shingles: {"the quick brown", "quick brown fox"}
+    assert (got[1]["n_ngrams"], got[1]["n_hits"]) == (3, 2)
+    assert (got[2]["n_ngrams"], got[2]["n_hits"]) == (1, 1)
+    assert got[2]["contamination"] == 1.0
+    assert got[3]["n_hits"] == 0
+    assert (got[4]["n_ngrams"], got[4]["contamination"]) == (0, 0.0)
+    # short doc: single joined shingle, not in the bench set
+    assert (got[5]["n_ngrams"], got[5]["n_hits"]) == (1, 0)
+    # shuffle-join path (benchmark too big to broadcast) is row-identical
+    alt = {
+        r["doc_id"]: r
+        for r in contamination(docs, bench, w=3, broadcast_bench=False).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in alt.items()
+    }
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """Per shard the offsets form one contiguous token stream
+    (offset_{i+1} = offset_i + tokens_i starting at 0), chunk ids are
+    exact integer DIVs of it, and the assignment is independent of the
+    input partitioning (determinism at any cluster size)."""
+    from collections import defaultdict
+
+    from knext_spark.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * (i % 37)).strip()) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=16, n_shards=4).collect()
+    assert len(rows) == 200
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["offset"])
+        cum = 0
+        for r in rs:
+            assert r["offset"] == cum, (shard, r)
+            assert r["bin_start"] == r["offset"] // 16
+            assert r["bin_end"] == max(r["offset"] + r["tokens"] - 1, r["offset"]) // 16
+            cum += r["tokens"]
+    got = sorted(map(tuple, rows))
+    again = sorted(map(tuple, pack_sequences(docs.repartition(7), budget=16, n_shards=4).collect()))
+    assert got == again
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from knext_spark.pipeline import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, n_shards=0)
+    # precomputed token-count column path
+    pre = docs.withColumn("n_tok", F.lit(3).cast("long"))
+    out = pack_sequences(pre, budget=2, tokens_col_name="n_tok").collect()
+    assert out[0]["tokens"] == 3 and out[0]["bin_end"] == 1
