@@ -725,6 +725,29 @@ def q_landmark_distances(spark, sf_dir):
     )
 
 
+_SPC_HOPS = 6  # path-counts horizon: engine max_iter == oracle unroll depth
+
+
+def q_path_counts(spark, sf_dir):
+    """Brandes forward pass (graph/betweenness.py): per-seed hop
+    distance AND exact shortest-path count σ — pure integers, so the
+    whole forward half of betweenness is hash-gated cross-engine (the
+    backward δ accumulation is a float sum, nx-test-gated like the
+    other order-dependent scores)."""
+    from knext_spark.graph import shortest_path_counts
+
+    edges = _edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    return shortest_path_counts(edges, seeds, max_iter=_SPC_HOPS).select(
+        "seed", "node", "dist", "sigma"
+    )
+
+
 def q_clustering_coef(spark, sf_dir):
     """nx.clustering parity (graph/linkpred.py); micros so the double
     division hashes identically cross-engine (both sides compute the
@@ -1152,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "bfs_distances": q_bfs_distances,
         "landmark_distances": q_landmark_distances,
+        "path_counts": q_path_counts,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
         "link_features": q_link_features,
@@ -1425,6 +1449,50 @@ _WEDGE_SQL = (
     f"select src, dst, cast(1 + (src + dst) % 5 as double) as weight "
     f"from ({_EDGE_SQL})"
 )
+
+
+def _path_counts_sql(h: int = _SPC_HOPS, edge_sql: str = _EDGE_SQL) -> str:
+    """Unrolled per-level shortest-path-counting oracle mirroring
+    graph/betweenness.shortest_path_counts level-for-level: level i's
+    σ is the sum of level i-1 predecessors' σ, reached-set anti-join
+    via NOT EXISTS. Both sides cap at the same horizon h, so the
+    truncation (if the graph were deeper) is alignment-safe. All
+    integers — hash-exact."""
+    parts = [
+        f"""
+    l0 as materialized (
+      select node as seed, node, cast(1 as bigint) as sigma from seeds
+    ),
+    r0 as materialized (
+      select seed, node, cast(0 as bigint) as dist, sigma from l0
+    )"""
+    ]
+    for i in range(1, h + 1):
+        p = i - 1
+        parts.append(f"""
+    l{i} as materialized (
+      select l{p}.seed, e0.dst as node, cast(sum(l{p}.sigma) as bigint) as sigma
+      from l{p} join e0 on e0.src = l{p}.node
+      where not exists (
+        select 1 from r{p} where r{p}.seed = l{p}.seed and r{p}.node = e0.dst
+      )
+      group by l{p}.seed, e0.dst
+    ),
+    r{i} as materialized (
+      select * from r{p}
+      union all
+      select seed, node, cast({i} as bigint) as dist, sigma from l{i}
+    )""")
+    return f"""
+    with e as materialized ({edge_sql}),
+    e0 as materialized (select src, dst from e where src <> dst),
+    seeds as materialized (
+      select node from (select src as node from e union select dst from e)
+      where node % 100 = 0
+    ),
+    {",".join(parts)}
+    select seed, node, dist, sigma from r{h}
+    """
 
 
 def _ppr_sql(k: int = _PR_ITERS, edge_sql: str = _EDGE_SQL) -> str:
@@ -2309,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
             select nodes.node, cast(md.dist as bigint) as dist
             from nodes left join md using (node)
         """,
+        "path_counts": _path_counts_sql(),
         "landmark_distances": f"""
             with recursive e as (
               select distinct src, dst from ({_EDGE_SQL})

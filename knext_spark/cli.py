@@ -9,13 +9,15 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|modularity
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume for the iterative ones (pagerank
                 takes --personalization, a parquet of (node, p)
                 teleport seeds; jaccard takes --min-common and the
-                --max-apex-degree hub governor; bfs takes --sources,
-                a parquet of (node) seeds, and --direction)
+                --max-apex-degree hub governor; bfs and betweenness
+                take --sources, a parquet of (node) seeds; modularity
+                takes --labels, a parquet of (node, label), and prints
+                the scalar Q)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -127,7 +129,9 @@ def cmd_graph(args):
     spark = _spark(args)
     edges = _edges_df(spark, args.edges)
     # argparse leaves --salt-k a string; pagerank compares it numerically
-    salt_k = args.salt_k if args.salt_k == "auto" else int(args.salt_k)
+    # (modularity's parser has no --salt-k: default 1)
+    raw_salt = getattr(args, "salt_k", 1)
+    salt_k = raw_salt if raw_salt == "auto" else int(raw_salt)
     if args.verb == "pagerank":
         pers = None
         if getattr(args, "personalization", None):
@@ -186,6 +190,23 @@ def cmd_graph(args):
             run_id=args.run_id, resume=args.resume, cadence=args.cadence,
             max_iter=args.max_iter,
         )
+    elif args.verb == "betweenness":
+        from knext_spark.graph import betweenness_sampled
+
+        betweenness_sampled(
+            spark, edges, spark.read.parquet(args.sources),
+            checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
+            resume=args.resume, cadence=args.cadence, max_iter=args.max_iter,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return
+    elif args.verb == "modularity":
+        from knext_spark.graph import modularity as _q
+
+        print(json.dumps({
+            "modularity": _q(edges, spark.read.parquet(args.labels)),
+        }))
+        return
     elif args.verb == "clustering":
         clustering_coefficient(edges).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
@@ -265,9 +286,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--unique", action="store_true")
     s.set_defaults(fn=cmd_convert)
 
+    s = sub.add_parser("modularity")
+    s.add_argument("--edges", required=True)
+    s.add_argument("--labels", required=True)  # parquet (node, label)
+    s.set_defaults(fn=cmd_graph, verb="modularity")
+
     for verb in (
         "pagerank", "hits", "cc", "scc", "lpa", "triangles",
-        "clustering", "jaccard", "bfs",
+        "clustering", "jaccard", "bfs", "betweenness",
     ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)

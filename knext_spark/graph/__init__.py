@@ -33,6 +33,11 @@ from knext_spark.graph.linkpred import (  # noqa: F401
     clustering_coefficient,
     neighbor_jaccard,
 )
+from knext_spark.graph.betweenness import (  # noqa: F401
+    betweenness_sampled,
+    shortest_path_counts,
+    shortest_path_counts_run,
+)
 from knext_spark.graph.modularity import (  # noqa: F401
     community_contributions,
     modularity,

@@ -1226,3 +1226,147 @@ def test_link_features_vs_networkx(spark):
         assert math.isclose(r["adamic_adar"], aa[k], rel_tol=1e-9), k
         assert math.isclose(r["resource_allocation"], ra[k], rel_tol=1e-9), k
         assert int(r["preferential_attachment"]) == pa[k], k
+
+
+# ---------------------------------------------------------- betweenness
+
+
+def _nx_sigma(G, s):
+    """Exact (dist, #shortest-paths) from s via BFS-order DP."""
+    dist = nx.single_source_shortest_path_length(G, s)
+    sigma = {v: 0 for v in dist}
+    sigma[s] = 1
+    for v in sorted(dist, key=dist.get):
+        if v == s:
+            continue
+        for u in G.predecessors(v):
+            if u in dist and dist[u] + 1 == dist[v]:
+                sigma[v] += sigma[u]
+    return dist, sigma
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_shortest_path_counts_vs_networkx(spark, gname):
+    """σ (path counts) and dist exact against an nx-derived DP on
+    every adversarial shape, all nodes as seeds."""
+    from knext_spark.graph import shortest_path_counts
+
+    pairs = GRAPHS[gname]
+    G = nx.DiGraph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    nodes = sorted(G.nodes)
+    if not nodes:
+        pytest.skip("self-loop-only graph")
+    seeds = spark.createDataFrame([(n,) for n in nodes], "node string")
+    got = {
+        (r["seed"], r["node"]): (r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            _edge_df(spark, pairs), seeds, max_iter=100
+        ).collect()
+    }
+    want = {}
+    for s in nodes:
+        dist, sigma = _nx_sigma(G, s)
+        for v, d in dist.items():
+            want[(s, v)] = (d, sigma[v])
+    assert got == want, gname
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_betweenness_exact_vs_networkx(spark, tmp_path, gname):
+    """With sources = every node, betweenness_sampled IS exact
+    directed betweenness: nx.betweenness_centrality(normalized=False)
+    at 1e-9 (δ is a float sum — tolerance, same as the other
+    order-dependent scores)."""
+    from knext_spark.graph import betweenness_sampled
+
+    pairs = GRAPHS[gname]
+    G = nx.DiGraph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    if G.number_of_nodes() == 0:
+        pytest.skip("self-loop-only graph")
+    seeds = spark.createDataFrame([(n,) for n in sorted(G.nodes)], "node string")
+    out = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(
+            spark,
+            _edge_df(spark, pairs),
+            seeds,
+            checkpoint_dir=str(tmp_path / gname),
+        ).collect()
+    }
+    want = nx.betweenness_centrality(G, normalized=False)
+    assert set(out) == set(want), gname
+    for n in want:
+        assert abs(out[n] - want[n]) < 1e-9, (gname, n)
+
+
+def test_path_counts_resume_identical(spark, tmp_path):
+    """Kill-at-round-1 resume for the Brandes forward pass (north
+    rule: resumable supersteps) — resumed state bit-identical to an
+    uninterrupted run."""
+    from knext_spark.graph import shortest_path_counts_run
+
+    pairs = GRAPHS["chain"]
+    seeds = spark.createDataFrame([("c0",), ("c10",)], "node string")
+    full = shortest_path_counts_run(
+        spark, _edge_df(spark, pairs), seeds, checkpoint_dir=str(tmp_path / "f")
+    )
+    assert full.converged
+    killed = shortest_path_counts_run(
+        spark,
+        _edge_df(spark, pairs),
+        seeds,
+        checkpoint_dir=str(tmp_path / "p"),
+        max_iter=1,
+    )
+    assert not killed.converged
+    resumed = shortest_path_counts_run(
+        spark,
+        _edge_df(spark, pairs),
+        seeds,
+        checkpoint_dir=str(tmp_path / "p"),
+        resume=True,
+    )
+    assert resumed.converged
+    assert sorted(map(tuple, resumed.state.collect())) == sorted(
+        map(tuple, full.state.collect())
+    )
+
+
+def test_betweenness_sampled_partial_sum(spark, tmp_path):
+    """A seed SAMPLE yields exactly the partial Brandes sum over those
+    sources (the documented semantics: callers rescale by n/k if they
+    want the nx k= estimator)."""
+    from knext_spark.graph import betweenness_sampled
+
+    pairs = GRAPHS["erdos"]
+    G = nx.DiGraph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    sample = sorted(G.nodes)[::3]
+    seeds = spark.createDataFrame([(n,) for n in sample], "node string")
+    out = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(
+            spark,
+            _edge_df(spark, pairs),
+            seeds,
+            checkpoint_dir=str(tmp_path / "s"),
+        ).collect()
+    }
+    # reference partial sum: Brandes per sampled source via nx shortest
+    # path DP (delta accumulation)
+    want = {v: 0.0 for v in G.nodes}
+    for s in sample:
+        dist, sigma = _nx_sigma(G, s)
+        delta = {v: 0.0 for v in dist}
+        for v in sorted(dist, key=dist.get, reverse=True):
+            for u in G.predecessors(v):
+                if u in dist and dist[u] + 1 == dist[v]:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+        for v, d in delta.items():
+            if v != s:
+                want[v] += d
+    assert set(out) == set(want)
+    for n in want:
+        assert abs(out[n] - want[n]) < 1e-9, n
