@@ -836,6 +836,21 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-doc duplicate-n-gram fraction (pipeline/text.py
+    repetition_ratio — Gopher-style boilerplate detector): counts are
+    integers, the ratio a fixed 1 - d/t IEEE dag — micros-safe."""
+    from knext_spark.pipeline import repetition_ratio
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_ratio(docs, w=3).select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        _micros(F.col("repetition")).alias("repetition_micros"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic concat-and-chunk packing assignment
     (pipeline/packing.py): md5-sharded streams, window prefix sums,
@@ -1181,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_features": q_link_features,
         "modularity_communities": q_modularity,
         "contamination": q_contamination,
+        "repetition": q_repetition,
         "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2538,6 +2554,29 @@ def oracle_sql() -> dict[str, str]:
                           else 0.0 end * 1000000 + 0.5) as bigint
                    ) as contamination_micros
             from documents d left join agg using (doc_id)
+        """,
+        "repetition": f"""
+            with t as (
+              select doc_id, {_TOKENS} as toks from documents
+            ),
+            g as (
+              select doc_id,
+                     case when len(toks) >= 3
+                          then list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                          else [] end as wins
+              from t
+            )
+            select doc_id,
+                   cast(len(wins) as bigint) as total_ngrams,
+                   cast(len(list_distinct(wins)) as bigint) as distinct_ngrams,
+                   cast(floor(
+                     case when len(wins) > 0
+                          then 1.0 - len(list_distinct(wins))::double
+                                     / len(wins)::double
+                          else 0.0 end * 1000000 + 0.5) as bigint
+                   ) as repetition_micros
+            from g
         """,
         "pack_sequences": """
             with t as (

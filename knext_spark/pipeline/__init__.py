@@ -24,6 +24,7 @@ from knext_spark.pipeline.text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_score,
+    repetition_ratio,
     scrub_pii,
     token_count,
     tokens_col,

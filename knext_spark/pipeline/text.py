@@ -170,6 +170,47 @@ def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", w: int = 3
+) -> DataFrame:
+    """Intra-document repetition — the standard boilerplate/decoder-
+    loop detector (Gopher/Dolma's "duplicate n-gram fraction"): of a
+    doc's w-shingle OCCURRENCES, what fraction are repeats of a
+    shingle already seen in the same doc? repetition = 1 −
+    distinct_shingles / total_shingles (0.0 when the doc has < w
+    tokens: no window repeats). High values flag generated/templated
+    text a training pipeline should drop or down-weight.
+
+    Pure Catalyst projection (transform + array_distinct on the
+    per-row token array — no shuffle, no UDF); counts are integers and
+    the ratio one two-integer division, so the DuckDB oracle
+    reproduces values bit-for-bit.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # greatest(.., 1): sequence(1, 0) would run DESCENDING into an
+    # invalid slice(.., 0) — the when() below discards the clamped row
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    total = F.when(n >= w, F.size(windows)).otherwise(F.lit(0))
+    distinct = F.when(n >= w, F.size(F.array_distinct(windows))).otherwise(
+        F.lit(0)
+    )
+    return df.select(
+        "doc_id",
+        total.cast("long").alias("total_ngrams"),
+        distinct.cast("long").alias("distinct_ngrams"),
+        F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact) and a
     content-defined rolling fingerprint = min md5 over 8-token shingles

@@ -883,3 +883,23 @@ def test_pack_sequences_rejects_bad_params(spark):
     pre = docs.withColumn("n_tok", F.lit(3).cast("long"))
     out = pack_sequences(pre, budget=2, tokens_col_name="n_tok").collect()
     assert out[0]["tokens"] == 3 and out[0]["bin_end"] == 1
+
+
+def test_repetition_ratio_hand_cases(spark):
+    from knext_spark.pipeline import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 9 tokens -> 7 windows, 3 distinct
+            (2, "one two three four"),  # 2 windows, all distinct
+            (3, "x y"),                 # < w tokens
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_ratio(docs, w=3).collect()}
+    assert (got[1]["total_ngrams"], got[1]["distinct_ngrams"]) == (7, 3)
+    assert abs(got[1]["repetition"] - (1 - 3 / 7)) < 1e-12
+    assert (got[2]["total_ngrams"], got[2]["repetition"]) == (2, 0.0)
+    assert (got[3]["total_ngrams"], got[3]["repetition"]) == (0, 0.0)
+    assert (got[4]["total_ngrams"], got[4]["repetition"]) == (0, 0.0)
