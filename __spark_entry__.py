@@ -748,6 +748,29 @@ def q_path_counts(spark, sf_dir):
     )
 
 
+_WALK_LEN = 5
+_WALKS_PER_START = 2
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus (graph/walks.py):
+    hash-argmin next-hop choice, so every position is a pure function
+    of the data — all-long rows, hash-exact against the unrolled
+    per-step CTE oracle."""
+    from knext_spark.graph import random_walks
+
+    edges = _edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    return random_walks(
+        edges, seeds, length=_WALK_LEN, walks_per_start=_WALKS_PER_START
+    ).select("start", "walk", "step", "node")
+
+
 def q_clustering_coef(spark, sf_dir):
     """nx.clustering parity (graph/linkpred.py); micros so the double
     division hashes identically cross-engine (both sides compute the
@@ -797,6 +820,22 @@ def q_link_features(spark, sf_dir):
     )
 
 
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity (graph/degrees.py): one row of
+    exact int64 moments + the coefficient as a fixed IEEE dag of them
+    — the whole row hash-exact (the symmetric-Pearson denominator
+    needs no sqrt, so no libm dependence either)."""
+    from knext_spark.graph import degree_assortativity
+
+    return degree_assortativity(_edge_table(spark, sf_dir)).select(
+        "n_ends",
+        "sum_d",
+        "sum_dd",
+        "sum_d2",
+        _micros(F.col("assortativity")).alias("assortativity_micros"),
+    )
+
+
 def q_modularity(spark, sf_dir):
     """Per-community Newman modularity breakdown (graph/modularity.py)
     for the deterministic node%7 labeling: internal edge and degree
@@ -834,6 +873,18 @@ def q_contamination(spark, sf_dir):
         "n_hits",
         _micros(F.col("contamination")).alias("contamination_micros"),
     )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-quota per-language sample (pipeline/splits.py
+    stratified_sample): 20 docs per lang, chosen by smallest
+    md5(doc_id) — pure strings/integers, hash-exact."""
+    from knext_spark.pipeline import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return stratified_sample(
+        docs, 20, stratum_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang")
 
 
 def q_repetition(spark, sf_dir):
@@ -1191,11 +1242,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "landmark_distances": q_landmark_distances,
         "path_counts": q_path_counts,
+        "random_walks": q_random_walks,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
         "link_features": q_link_features,
+        "assortativity": q_assortativity,
         "modularity_communities": q_modularity,
         "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         "repetition": q_repetition,
         "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
@@ -1508,6 +1562,48 @@ def _path_counts_sql(h: int = _SPC_HOPS, edge_sql: str = _EDGE_SQL) -> str:
     ),
     {",".join(parts)}
     select seed, node, dist, sigma from r{h}
+    """
+
+
+def _random_walks_sql(
+    length: int = 5, walks: int = 2, edge_sql: str = _EDGE_SQL
+) -> str:
+    """Unrolled per-step walk oracle mirroring graph/walks.py: the
+    same md5(start:walk:step:dst) hash-argmin next-hop (ties by dst)
+    — all integers/strings, hash-exact."""
+    walk_rows = " union all ".join(f"select {r} as walk" for r in range(walks))
+    parts = [f"""
+    w0 as materialized (
+      select node as start, cast(walk as bigint) as walk,
+             cast(0 as bigint) as step, node
+      from seeds, ({walk_rows})
+    )"""]
+    for t in range(1, length + 1):
+        p = t - 1
+        parts.append(f"""
+    w{t} as materialized (
+      select start, walk, cast({t} as bigint) as step, dst as node from (
+        select p.start, p.walk, e0.dst,
+               row_number() over (
+                 partition by p.start, p.walk
+                 order by md5(p.start::varchar || ':' || p.walk::varchar
+                              || ':{t}:' || e0.dst::varchar), e0.dst
+               ) as rn
+        from w{p} p join e0 on e0.src = p.node
+      ) where rn = 1
+    )""")
+    union = "\n      union all ".join(
+        f"select start, walk, step, node from w{t}" for t in range(length + 1)
+    )
+    return f"""
+    with e as materialized ({edge_sql}),
+    e0 as materialized (select distinct src, dst from e),
+    seeds as materialized (
+      select node from (select src as node from e union select dst from e)
+      where node % 100 = 0
+    ),
+    {",".join(parts)}
+    {union}
     """
 
 
@@ -2394,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
             from nodes left join md using (node)
         """,
         "path_counts": _path_counts_sql(),
+        "random_walks": _random_walks_sql(_WALK_LEN, _WALKS_PER_START),
         "landmark_distances": f"""
             with recursive e as (
               select distinct src, dst from ({_EDGE_SQL})
@@ -2497,6 +2594,35 @@ def oracle_sql() -> dict[str, str]:
             join deg da on np.a = da.w
             join deg db on np.b = db.w
         """,
+        "assortativity": f"""
+            with e as ({_EDGE_SQL}),
+            e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                   from e where src <> dst),
+            deg as (select node, count(*) as d
+                    from (select a as node from e0 union all select b from e0)
+                    group by node),
+            ends as (
+              select da.d as da, db.d as db
+              from e0
+              join deg da on e0.a = da.node
+              join deg db on e0.b = db.node
+            ),
+            mom as (
+              select cast(2 * count(*) as bigint) as n_ends,
+                     cast(sum(da + db) as bigint) as sum_d,
+                     cast(2 * sum(da * db) as bigint) as sum_dd,
+                     cast(sum(da * da + db * db) as bigint) as sum_d2
+              from ends
+            )
+            select n_ends, sum_d, sum_dd, sum_d2,
+                   cast(floor(
+                     (n_ends::double * sum_dd::double
+                      - sum_d::double * sum_d::double)
+                     / (n_ends::double * sum_d2::double
+                        - sum_d::double * sum_d::double)
+                     * 1000000 + 0.5) as bigint) as assortativity_micros
+            from mom
+        """,
         "modularity_communities": f"""
             with e as ({_EDGE_SQL}),
             e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
@@ -2554,6 +2680,17 @@ def oracle_sql() -> dict[str, str]:
                           else 0.0 end * 1000000 + 0.5) as bigint
                    ) as contamination_micros
             from documents d left join agg using (doc_id)
+        """,
+        "stratified_sample": """
+            with r as (
+              select doc_id, lang,
+                     row_number() over (
+                       partition by lang
+                       order by md5(cast(doc_id as varchar)), doc_id
+                     ) as rn
+              from documents
+            )
+            select doc_id, lang from r where rn <= 20
         """,
         "repetition": f"""
             with t as (

@@ -1482,6 +1482,177 @@ def run_temporal_skew(sf_dir: str) -> dict:
     }
 
 
+def run_newops(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for the round-5 additions:
+
+    - graph: sampled Brandes betweenness (forward σ counting +
+      backward δ accumulation, both superstep phases incl. per-round
+      Parquet commits) over the KGML-derived encoded edge table with a
+      deterministic ~0.1% seed sample, and the per-community Newman
+      modularity breakdown for a 64-way deterministic labeling;
+    - corpus: repetition_ratio, contamination (doc_id%97 stand-in
+      suite, broadcast probe) and pack_sequences over a k-fold
+      replicated documents table (replication makes the corpus side
+      big enough that job overhead is not the measurement).
+
+    Protocol mirrors --linkpred: inputs written once to shared
+    Parquet, each level reads the same bytes, full-job wall (count
+    action), min over SPARK_GRAFT_NO_RUNS runs, rows-or-edges/sec +
+    per-pair scaling efficiency."""
+    from knext_spark.session import get_spark
+    from knext_spark.graph import betweenness_sampled, community_contributions
+    from knext_spark.pipeline import (
+        contamination,
+        pack_sequences,
+        repetition_ratio,
+    )
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_NO_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_NO_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_NO_DOCS", "20000"))
+    runs = int(os.environ.get("SPARK_GRAFT_NO_RUNS", "2"))
+    doc_reps = int(os.environ.get("SPARK_GRAFT_NO_DOC_REPS", "20"))
+    # ~0.01% of nodes: betweenness is O(k·E) per PASS, so the seed
+    # sample, not the edge count, is the knob that keeps the two-level
+    # run inside a bench budget at 11M edges
+    seed_mod = int(os.environ.get("SPARK_GRAFT_NO_SEED_MOD", "10000"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_no_edges_")
+    docs_dir = tempfile.mkdtemp(prefix="bench_no_docs_")
+    spark = get_spark(
+        "bench_no_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    (
+        base.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    (
+        docs0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(doc_reps - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") * doc_reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_no_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        docs = spark.read.parquet(docs_dir).persist()
+        n_rows = docs.count()
+        level = {"n_edges": n_edges, "n_docs": n_rows}
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        seeds = nodes.where(
+            F.pmod(F.xxhash64("node"), F.lit(seed_mod)) == 0
+        )
+        labels = nodes.select(
+            "node", F.pmod(F.xxhash64("node"), F.lit(64)).alias("label")
+        )
+        bench_docs = docs.where(F.col("doc_id") % 97 == 0)
+        for name, denom, fn in (
+            (
+                "betweenness",
+                n_edges,
+                lambda: betweenness_sampled(spark, edges, seeds, max_iter=50),
+            ),
+            (
+                "modularity",
+                n_edges,
+                lambda: community_contributions(edges, labels),
+            ),
+            ("repetition", n_rows, lambda: repetition_ratio(docs, w=3)),
+            (
+                "contamination",
+                n_rows,
+                lambda: contamination(docs, bench_docs, w=3),
+            ),
+            (
+                "packing",
+                n_rows,
+                lambda: pack_sequences(docs, budget=2048, n_shards=256),
+            ),
+        ):
+            walls, rows = [], None
+            for _ in range(runs):
+                t0 = time.time()
+                rows = fn().count()
+                walls.append(time.time() - t0)
+            w = min(walls)
+            level[name] = {
+                "wall_s": round(w, 2),
+                "rows_per_sec": round(denom / w, 1),
+                "out_rows": rows,
+                "walls": [round(x, 2) for x in walls],
+            }
+        out[f"local[{cpus}]"] = level
+        edges.unpersist()
+        docs.unpersist()
+        spark.stop()
+
+    algos = (
+        "betweenness", "modularity", "repetition", "contamination", "packing"
+    )
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in algos:
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["rows_per_sec"]
+                / out[f"local[{lo}]"][algo]["rows_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    return {
+        "metric": "newops_scaling_efficiency",
+        "value": pairs[f"betweenness:{levels[0]}->{levels[1]}"],
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "n_docs_graph": n_docs,
+        "doc_reps": doc_reps,
+        "seed_mod": seed_mod,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
@@ -1592,6 +1763,8 @@ if __name__ == "__main__":
         emit(run_graph_extra(sf_dir))
     elif "--linkpred" in sys.argv:
         emit(run_linkpred(sf_dir))
+    elif "--newops" in sys.argv:
+        emit(run_newops(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))

@@ -25,6 +25,7 @@ from knext_spark.graph.hits import hits  # noqa: F401
 from knext_spark.graph.scc import strongly_connected_components  # noqa: F401
 from knext_spark.graph.degrees import (  # noqa: F401
     degrees,
+    degree_assortativity,
     degree_histogram,
     roots,
     leaves,
@@ -42,6 +43,7 @@ from knext_spark.graph.modularity import (  # noqa: F401
     community_contributions,
     modularity,
 )
+from knext_spark.graph.walks import random_walks  # noqa: F401
 from knext_spark.graph.bfs import bfs_distances, bfs_distances_run  # noqa: F401
 from knext_spark.graph.landmarks import (  # noqa: F401
     closeness_centrality_sampled,

@@ -83,3 +83,61 @@ def salted_out_edges(edges: DataFrame, k: int) -> DataFrame:
     replicates each src's rank k-fold (ranks ⋈ salt values), so each
     salted partition holds 1/k of a hub's fan-out."""
     return edges.withColumn("salt", F.pmod(F.xxhash64("src", "dst"), F.lit(k)))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree-assortativity coefficient of the undirected
+    simple graph (``nx.degree_assortativity_coefficient(nx.Graph)``):
+    the Pearson correlation of endpoint degrees over the edge ends,
+    each edge contributing BOTH orientations (nx's joint degree
+    histogram convention).
+
+    Exactness by construction: returns ONE row carrying the raw
+    integer moments (n ends, sum deg, sum deg·deg', sum deg²) and the
+    coefficient assembled from them in a fixed IEEE dag — the moments
+    are exact int64 sums (order-independent), so the whole row is
+    hash-gateable cross-engine like the modularity contributions.
+    int64 bound: sum(d²) ≤ Σ_v d(v)·d_max ≤ 2·E·d_max — overflows
+    only past ~4e18 (E·d_max), far beyond any real corpus' simple
+    graph; the driver-contract row re-checks nothing silently (an
+    overflow would flip the hash).
+
+    Cost: the linkpred canonicalization + one degree aggregation + two
+    broadcast-eligible degree joins + one single-row aggregate.
+    """
+    from knext_spark.graph.linkpred import _simple_undirected
+
+    und = _simple_undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ends = und.join(da, "a").join(db, "b")
+    mom = ends.agg(
+        (2 * F.count("*")).cast("long").alias("n_ends"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sum_d"),
+        (2 * F.sum(F.col("da") * F.col("db"))).cast("long").alias("sum_dd"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    n = F.col("n_ends").cast("double")
+    sx = F.col("sum_d").cast("double")
+    sxy = F.col("sum_dd").cast("double")
+    sx2 = F.col("sum_d2").cast("double")
+    den = n * sx2 - sx * sx
+    return mom.select(
+        "n_ends",
+        "sum_d",
+        "sum_dd",
+        "sum_d2",
+        # degree-regular graph: 0/0 — NaN like nx (explicit: ANSI mode
+        # raises on divide-by-zero rather than following IEEE)
+        F.when(den != 0.0, (n * sxy - sx * sx) / den)
+        .otherwise(F.lit(float("nan")))
+        .alias("assortativity"),
+    )

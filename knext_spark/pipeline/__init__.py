@@ -45,6 +45,7 @@ from knext_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from knext_spark.pipeline.splits import (  # noqa: F401
     deterministic_sample,
     deterministic_split,
+    stratified_sample,
     split_col,
 )
 from knext_spark.pipeline.similarity import (  # noqa: F401

@@ -90,3 +90,37 @@ def deterministic_sample(
         return df
     bound = format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
     return df.where(_hash_prefix(F.col(key_col)) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str,
+    key_col: str = "text",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, chosen
+    deterministically: the n smallest ``md5(key)`` values in each
+    stratum (ties broken by the key itself). The balanced-corpus
+    counterpart of :func:`deterministic_sample` — rate-based hashing
+    gives each stratum a ~proportional slice, this gives each stratum
+    an exact QUOTA (e.g. n docs per language), stable run-to-run and
+    cluster-size-independent.
+
+    Cost: one exchange (hash-partition by stratum) + an in-partition
+    sort — the windowed-top-n shape; at web scale a giant stratum's
+    sort is the straggler and the standard fix applies (pre-filter
+    each stratum with deterministic_sample at a rate that overshoots
+    the quota, then rank the survivors).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

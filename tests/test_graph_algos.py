@@ -1370,3 +1370,76 @@ def test_betweenness_sampled_partial_sum(spark, tmp_path):
     assert set(out) == set(want)
     for n in want:
         assert abs(out[n] - want[n]) < 1e-9, n
+
+
+def test_degree_assortativity_vs_networkx(spark):
+    """Coefficient matches nx.degree_assortativity_coefficient on the
+    undirected simple view of every adversarial shape (skipping
+    degree-regular shapes where the correlation is 0/0 on both
+    sides)."""
+    import math
+
+    from knext_spark.graph import degree_assortativity
+
+    checked = 0
+    for gname, pairs in sorted(GRAPHS.items()):
+        G = nx.Graph()
+        G.add_edges_from((a, b) for a, b in pairs if a != b)
+        if G.number_of_edges() == 0:
+            continue
+        degs = {d for _, d in G.degree()}
+        row = degree_assortativity(_edge_df(spark, pairs)).collect()[0]
+        assert row["n_ends"] == 2 * G.number_of_edges(), gname
+        if len(degs) == 1:
+            # regular graph: 0/0 — IEEE NaN here, nan from nx too
+            assert math.isnan(row["assortativity"]), gname
+            continue
+        want = nx.degree_assortativity_coefficient(G)
+        assert abs(row["assortativity"] - want) < 1e-9, (
+            gname, row["assortativity"], want,
+        )
+        checked += 1
+    assert checked >= 4
+
+
+def test_random_walks_deterministic_and_hash_argmin(spark):
+    """Walk rows reproduce a pure-Python replay of the md5-argmin
+    rule exactly, stop at dangling nodes, and are independent of the
+    input partitioning."""
+    import hashlib
+
+    from knext_spark.graph import random_walks
+
+    pairs = GRAPHS["erdos"] + [("sink_in", "sink")]  # a dangling stop
+    starts = sorted({a for a, _ in pairs})[:5] + ["sink_in"]
+    seeds = spark.createDataFrame([(n,) for n in starts], "node string")
+    out = random_walks(
+        _edge_df(spark, pairs), seeds, length=4, walks_per_start=2
+    )
+    got = sorted(map(tuple, out.collect()))
+
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    want = []
+    for s in set(starts):
+        for w in (0, 1):
+            node = s
+            want.append((s, w, 0, node))
+            for t in range(1, 5):
+                nbrs = sorted(adj.get(node, ()))
+                if not nbrs:
+                    break
+                node = min(
+                    nbrs,
+                    key=lambda u: (
+                        hashlib.md5(f"{s}:{w}:{t}:{u}".encode()).hexdigest(),
+                        u,
+                    ),
+                )
+                want.append((s, w, t, node))
+    assert got == sorted(want)
+    again = random_walks(
+        _edge_df(spark, pairs).repartition(5), seeds, length=4, walks_per_start=2
+    )
+    assert sorted(map(tuple, again.collect())) == got

@@ -903,3 +903,33 @@ def test_repetition_ratio_hand_cases(spark):
     assert (got[2]["total_ngrams"], got[2]["repetition"]) == (2, 0.0)
     assert (got[3]["total_ngrams"], got[3]["repetition"]) == (0, 0.0)
     assert (got[4]["total_ngrams"], got[4]["repetition"]) == (0, 0.0)
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    from knext_spark.pipeline import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"t{i}") for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    out = stratified_sample(df, 5, stratum_col="lang", key_col="doc_id")
+    rows = out.collect()
+    from collections import Counter
+
+    c = Counter(r["lang"] for r in rows)
+    assert c == {"s0": 5, "s1": 5, "s2": 5}
+    # quota above a stratum's size keeps the whole stratum
+    tiny = df.where(F.col("doc_id") < 4)  # s0:2, s1:1, s2:1
+    assert stratified_sample(tiny, 5, "lang", "doc_id").count() == 4
+    # deterministic + partitioning-independent + nested (5 ⊆ 10)
+    again = stratified_sample(df.repartition(7), 5, "lang", "doc_id")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    ten = {
+        r["doc_id"]
+        for r in stratified_sample(df, 10, "lang", "doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} <= ten
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(df, 0, "lang")
