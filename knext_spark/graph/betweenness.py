@@ -147,6 +147,11 @@ def betweenness_sampled(
     (path counting) and ``<run_id>_bwd`` (one superstep per level,
     deepest first); ``resume=True`` resumes whichever phase was killed
     (the forward pass is re-read from its own committed state).
+
+    Keep ``cadence`` at 1 (default): the backward superstep joins two
+    state-derived frames, so lazily-chained supersteps hit the
+    inherited-sizeInBytes blowup documented in graph/superstep.py (the
+    cc/k_core class of the hazard); Parquet commits reset it.
     """
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="knext_ckpt_")

@@ -269,3 +269,51 @@ def test_scrub_pii_matches_python_re(spark, frags):
         assert row[f"n_{name}"] == len(_re.findall(pat, text)), (name, text)
         expect = _re.sub(pat, token, expect)
     assert row["text"] == expect, text
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_path_counts_random_graphs_match_networkx(spark, edges):
+    """σ/dist from shortest_path_counts equal an nx-derived DP on
+    random digraphs (all nodes as seeds), and Brandes invariants hold:
+    σ(s,s)=1 at dist 0; σ(s,v) = Σ σ(s,u) over dist-(d-1)
+    predecessors; rows exist exactly for nx-reachable pairs."""
+    import networkx as nx
+
+    from knext_spark.graph import shortest_path_counts
+
+    G = nx.DiGraph()
+    G.add_edges_from((a, b) for a, b in edges if a != b)
+    nodes = sorted(G.nodes)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        (r["seed"], r["node"]): (r["dist"], r["sigma"])
+        for r in shortest_path_counts(df, seeds, max_iter=50).collect()
+    }
+    want = {}
+    for s in nodes:
+        dist = nx.single_source_shortest_path_length(G, s)
+        sigma = {v: 0 for v in dist}
+        sigma[s] = 1
+        for v in sorted(dist, key=dist.get):
+            if v == s:
+                continue
+            for u in G.predecessors(v):
+                if u in dist and dist[u] + 1 == dist[v]:
+                    sigma[v] += sigma[u]
+        for v, d in dist.items():
+            want[(s, v)] = (d, sigma[v])
+    assert got == want
