@@ -182,3 +182,63 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"node", "rank"}
+
+
+def test_path_counts_oracle_second_graph(spark, ddb):
+    """Unrolled σ-counting oracle at a second graph shape (mod=797):
+    integers, so this is a pure structural-robustness check of the
+    level unrolling (no float-boundary caveat like pagerank's)."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import shortest_path_counts
+
+    edges = entrymod._edge_table(spark, SF_DIR, mod=797)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    df = shortest_path_counts(
+        edges, seeds, max_iter=entrymod._SPC_HOPS
+    ).select("seed", "node", "dist", "sigma")
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb,
+        entrymod._path_counts_sql(entrymod._SPC_HOPS, entrymod._edge_sql(797)),
+    )
+    assert got_cols == want_cols
+    assert got == want
+
+
+def test_random_walks_oracle_second_graph(spark, ddb):
+    """Unrolled hash-argmin walk oracle at a second graph shape
+    (mod=797) — different adjacency, same deterministic choices."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import random_walks
+
+    edges = entrymod._edge_table(spark, SF_DIR, mod=797)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    df = random_walks(
+        edges,
+        seeds,
+        length=entrymod._WALK_LEN,
+        walks_per_start=entrymod._WALKS_PER_START,
+    ).select("start", "walk", "step", "node")
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb,
+        entrymod._random_walks_sql(
+            entrymod._WALK_LEN,
+            entrymod._WALKS_PER_START,
+            entrymod._edge_sql(797),
+        ),
+    )
+    assert got_cols == want_cols
+    assert got == want
