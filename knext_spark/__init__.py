@@ -11,15 +11,20 @@ lists -> graph analysis), re-expressed Spark-first:
 - the knext edge semantics (naming, clique expansion, aggregation,
   compound propagation, ID conversion) as declarative DataFrame plans
   (``knext/``),
-- iterative DataFrame-join graph algorithms — PageRank (plain and
-  personalized), connected components (weak and strong), label
-  propagation, triangle counting, k-core, HITS, multi-source BFS
-  distances — with per-superstep checkpoint/resume, plus one-shot
-  clustering-coefficient and neighbor-Jaccard/Adamic-Adar link
-  prediction (``graph/``),
+- iterative DataFrame-join graph algorithms — PageRank (plain,
+  personalized, weighted), connected components (weak and strong),
+  label propagation, triangle counting, k-core, HITS, multi-source
+  BFS / landmark distances, sampled Brandes betweenness (with exact
+  shortest-path counting) — with per-superstep checkpoint/resume,
+  plus one-shot clustering coefficient, neighbor-Jaccard /
+  Adamic-Adar / resource-allocation / preferential-attachment link
+  prediction, Newman modularity scoring, degree assortativity, and
+  deterministic DeepWalk-style random walks (``graph/``),
 - large-scale training-data pipeline operators (dedup incl. transitive
-  cluster closure, similarity search, text analysis, corpus profiling,
-  PII scrubbing, deterministic splits, multimodal plumbing, temporal
+  cluster closure, similarity search, text analysis incl. repetition
+  scoring, corpus profiling, PII scrubbing, benchmark-contamination
+  screening, deterministic splits incl. stratified quotas,
+  concat-and-chunk sequence packing, multimodal plumbing, temporal
   joins, sessionization) (``pipeline/``, ``streaming/``).
 
 No per-row Python anywhere in the hot path: plans are built-in
