@@ -912,6 +912,44 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (pipeline/dedup.py
+    line_dedup). The synthetic documents are single-line word soup, so
+    the query first rewrites each doc into 3-token lines (a pure
+    projection both engines express identically); with ~30 distinct
+    words, 3-token lines repeat across documents heavily — real
+    boilerplate behavior at sf scale. Integer counts + exact string
+    rebuild: hash-safe."""
+    from knext_spark.pipeline import line_dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, F.lit(3)), " "),
+    )
+    d2 = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(d2, max_docs=4, min_chars=6)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-k TF-IDF keywords per doc (pipeline/text.py tfidf_topk):
+    integer tf/df, rank from a deterministic (score desc, token asc)
+    window; the double score ships as micros."""
+    from knext_spark.pipeline import tfidf_topk
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(d, k=3).select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        _micros(F.col("tfidf")).alias("tfidf_micros"),
+        "rank",
+    )
+
+
 _PR_ITERS = 10  # fixed-iteration contract mode; oracle unrolls the same K
 
 
@@ -1251,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "repetition": q_repetition,
+        "line_dedup": q_line_dedup,
+        "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2691,6 +2731,73 @@ def oracle_sql() -> dict[str, str]:
               from documents
             )
             select doc_id, lang from r where rn <= 20
+        """,
+        "line_dedup": """
+            with toksrc as (
+              select doc_id, string_split(text, ' ') as tk from documents
+            ),
+            d2 as (
+              select doc_id,
+                     array_to_string(
+                       list_transform(range(0, cast(ceil(len(tk) / 3.0) as int)),
+                         i -> array_to_string(tk[i*3+1:i*3+3], ' ')),
+                       chr(10)) as text
+              from toksrc
+            ),
+            lines as (
+              select doc_id,
+                     unnest(string_split(text, chr(10))) as line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) as pos
+              from d2
+            ),
+            m as (
+              select doc_id, pos, line,
+                     md5(lower(trim(line))) as lhash,
+                     length(lower(trim(line))) < 6 as exempt
+              from lines
+            ),
+            boiler as (
+              select lhash from (
+                select lhash, count(distinct doc_id) as doc_freq
+                from m where not exempt group by lhash
+              ) where doc_freq > 4
+            )
+            select m.doc_id,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(sum(case when b.lhash is null or m.exempt
+                                 then 1 else 0 end) as bigint) as n_kept,
+                   coalesce(string_agg(
+                     case when b.lhash is null or m.exempt then m.line end,
+                     chr(10) order by m.pos), '') as clean_text
+            from m left join boiler b on m.lhash = b.lhash
+            group by m.doc_id
+        """,
+        "tfidf_topk": f"""
+            with tok as (
+              select doc_id, unnest({_TOKENS}) as token from documents
+            ),
+            tf as (
+              select doc_id, token, count(*) as tf
+              from tok group by doc_id, token
+            ),
+            dfreq as (select token, count(*) as df from tf group by token),
+            n as (select count(distinct doc_id) as n_docs from documents),
+            s as (
+              select tf.doc_id, tf.token, tf.tf, dfreq.df,
+                     tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1) as tfidf,
+                     row_number() over (
+                       partition by tf.doc_id
+                       order by tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1)
+                                desc, tf.token
+                     ) as rnk
+              from tf join dfreq using (token) cross join n
+            )
+            select doc_id, token,
+                   cast(tf as bigint) as tf,
+                   cast(df as bigint) as df,
+                   cast(floor(tfidf * 1000000 + 0.5) as bigint) as tfidf_micros,
+                   cast(rnk as int) as "rank"
+            from s where rnk <= 3
         """,
         "repetition": f"""
             with t as (

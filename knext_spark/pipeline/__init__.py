@@ -26,6 +26,7 @@ from knext_spark.pipeline.text import (  # noqa: F401
     quality_score,
     repetition_ratio,
     scrub_pii,
+    tfidf_topk,
     token_count,
     tokens_col,
 )
@@ -34,6 +35,7 @@ from knext_spark.pipeline.packing import pack_sequences  # noqa: F401
 from knext_spark.pipeline.dedup import (  # noqa: F401
     dedup_clusters,
     exact_dedup,
+    line_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_dedup_pairs,

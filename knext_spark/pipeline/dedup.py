@@ -346,3 +346,77 @@ def dedup_clusters(
             (F.coalesce("cluster", F.col(key)) == F.col(key)).alias("is_canonical"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_docs: int = 2,
+    min_chars: int = 10,
+    sep: str = "\n",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (web-corpus prep:
+    nav bars, cookie banners, footers repeat verbatim across a site's
+    pages and must be stripped from *within* documents, not by
+    dropping whole documents).
+
+    A line is boilerplate when its normalized form (trimmed,
+    lowercased) occurs in more than ``max_docs`` distinct documents;
+    boilerplate lines are dropped from every document. Lines whose
+    normalized form is shorter than ``min_chars`` characters are
+    exempt (always kept): hashing tiny lines would strip blank
+    separators and list markers that merely look alike.
+
+    Returns ``(key, n_lines, n_kept, clean_text)`` with line order
+    preserved in ``clean_text``; a fully-boilerplate document yields
+    ``clean_text = ''`` (kept, so the caller sees the drop rather
+    than losing the row).
+
+    Scale: one posexplode scan; the doc-frequency aggregate runs on
+    the per-doc-distinct (line_hash, key) projection (map-side
+    combinable) and is filtered to ``> max_docs`` BEFORE the join
+    back, so only the boilerplate hash set — small by construction,
+    each entry standing for many duplicate lines — ships to every
+    executor (broadcast by default); the rebuild is the same
+    array_sort(collect_list(struct)) fold the knext aggregation uses
+    (reference parity: knext joins comma-lists, genes.py:235-262
+    analogue — here it is newline-joined lines).
+    """
+    norm = F.lower(F.trim(F.col("line")))
+    lines = (
+        df.select(
+            key, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+        )
+        .withColumn("lhash", F.md5(norm))
+        .withColumn("exempt", F.length(norm) < min_chars)
+    )
+    boiler = (
+        lines.where(~F.col("exempt"))
+        .select("lhash", key)
+        .distinct()
+        .groupBy("lhash")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") > max_docs)
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    keep = F.col("doc_freq").isNull() | F.col("exempt")
+    return (
+        lines.join(boiler, "lhash", "left")
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )

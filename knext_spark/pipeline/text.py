@@ -267,3 +267,54 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", scrubbed.alias(text_col), *counts
     ).withColumn("n_pii", sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (corpus keyword extraction /
+    topic tagging for training-data curation).
+
+    tf = raw term count within the document (tokens_col tokenization);
+    df = number of documents containing the term; idf is the smoothed
+    sklearn form ``ln((N + 1) / (df + 1)) + 1`` so unseen-term idf is
+    finite and corpus-size-monotone. Ties break deterministically by
+    (score desc, token asc). Output: ``(key, token, tf, df, tfidf,
+    rank)`` with tfidf a raw double (contract callers integerize).
+
+    Scale: explode -> (key, token) count (map-side combinable) ->
+    token doc-frequency derived from that SAME aggregate (tf rows are
+    already distinct per (doc, token), so df is a count, not a
+    count-distinct — no second pass over the corpus); N arrives as a
+    broadcast 1-row aggregate (lazy — no driver count()); the final
+    top-k is one window over the doc key. Three shuffles total, all
+    on keys whose cardinality shrinks monotonically.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(key, F.explode(tokens_col(text_col)).alias("token"))
+    tf = toks.groupBy(key, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count_distinct(F.col(key)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("tfidf_raw"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(ndocs))
+        .withColumn("tfidf_raw", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            key,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf_raw").alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -933,3 +933,94 @@ def test_stratified_sample_quota_and_stability(spark):
 
     with _pytest.raises(ValueError):
         stratified_sample(df, 0, "lang")
+
+
+def test_line_dedup_semantics(spark):
+    """Hand-built corpus: a boilerplate banner repeated in 3 docs is
+    dropped everywhere (max_docs=2); unique lines survive in order;
+    short lines are exempt even when repeated; a fully-boilerplate doc
+    comes back with clean_text='' rather than vanishing."""
+    from knext_spark.pipeline import line_dedup
+
+    banner = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha content line\n--\nclosing alpha words"),
+            (2, f"{banner}\nunique beta content line\n--"),
+            (3, f"{banner}\nunique gamma content line"),
+            (4, banner),
+            (5, "standalone delta doc line"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_docs=2, min_chars=5).collect()
+    }
+    assert len(out) == 5
+    # banner dropped (3 docs > 2); '--' exempt (len 2 < 5) though repeated
+    assert out[1]["clean_text"] == "unique alpha content line\n--\nclosing alpha words"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 3)
+    assert out[2]["clean_text"] == "unique beta content line\n--"
+    assert out[3]["clean_text"] == "unique gamma content line"
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (1, 0)
+    assert out[5]["clean_text"] == "standalone delta doc line"
+
+
+def test_line_dedup_normalizes_case_and_whitespace(spark):
+    """Frequency counting is on the trimmed, lowercased form, but the
+    surviving text keeps the original bytes."""
+    from knext_spark.pipeline import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie Policy Notice\nkeep me one"),
+            (2, "  cookie policy notice \nkeep me two"),
+            (3, "COOKIE POLICY NOTICE\nkeep me three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup(docs, max_docs=2, min_chars=5).collect()
+    }
+    assert out == {1: "keep me one", 2: "keep me two", 3: "keep me three"}
+
+
+def test_tfidf_topk_matches_manual(spark):
+    """4-doc corpus checked against a hand-computed smoothed tf-idf:
+    a corpus-wide token scores below a rarer one at equal tf; ranks
+    tie-break lexicographically."""
+    import math
+
+    from knext_spark.pipeline import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+            (4, "date common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+
+    def idf(df):
+        return math.log((4 + 1) / (df + 1)) + 1
+
+    # doc 1: apple tf=2 df=1 beats common tf=1 df=4 and banana tf=1 df=2
+    assert [r["token"] for r in by_doc[1]] == ["apple", "banana"]
+    assert abs(by_doc[1][0]["tfidf"] - 2 * idf(1)) < 1e-12
+    # doc 3: cherry tf=3 df=2 first; common second
+    assert [r["token"] for r in by_doc[3]] == ["cherry", "common"]
+    # doc 4: date (df=1) outranks common (df=4)
+    assert [r["token"] for r in by_doc[4]] == ["date", "common"]
+    # every doc got exactly min(k, n_distinct_tokens) rows
+    assert [len(by_doc[d]) for d in sorted(by_doc)] == [2, 2, 2, 2]
