@@ -887,6 +887,42 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+_MIX_RATES = {"en": 0.35, "fr": 0.6, "de": 0.8, "es": 1.0}
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Temperature-style corpus mixing (pipeline/splits.py
+    weighted_sample): per-language keep-rates compiled to md5-hex cut
+    strings — pure strings end-to-end, hash-exact; the oracle CASE is
+    generated from the SAME rate_hex() cuts (one source of truth)."""
+    from knext_spark.pipeline import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return weighted_sample(
+        docs, _MIX_RATES, stratum_col="lang", key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang")
+
+
+def _weighted_sample_sql() -> str:
+    from knext_spark.pipeline.splits import rate_hex
+
+    whens = []
+    for lang, rate in _MIX_RATES.items():
+        cut = rate_hex(rate)
+        pred = (
+            "true"
+            if cut is None
+            else f"substr(md5('mix:' || cast(doc_id as varchar)), 1, 8) < '{cut}'"
+        )
+        whens.append(f"when lang = '{lang}' then {pred}")
+    case = "\n                     ".join(whens)
+    return f"""
+            select doc_id, lang from documents
+            where case {case}
+                       else false end
+        """
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc duplicate-n-gram fraction (pipeline/text.py
     repetition_ratio — Gopher-style boilerplate detector): counts are
@@ -1288,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_communities": q_modularity,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -2732,6 +2769,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, lang from r where rn <= 20
         """,
+        "weighted_sample": _weighted_sample_sql(),
         "line_dedup": """
             with toksrc as (
               select doc_id, string_split(text, ' ') as tk from documents

@@ -47,8 +47,11 @@ from knext_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from knext_spark.pipeline.splits import (  # noqa: F401
     deterministic_sample,
     deterministic_split,
+    rate_hex,
     stratified_sample,
     split_col,
+    temperature_rates,
+    weighted_sample,
 )
 from knext_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,

@@ -124,3 +124,88 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def rate_hex(rate: float) -> str | None:
+    """The exclusive 8-hex-digit upper bound a keep-rate compiles to
+    (None = keep everything). Shared by the engine column and the
+    DuckDB oracle generator — one source of truth, no float arithmetic
+    at evaluation time on either side."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return None
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def temperature_rates(
+    counts: dict[str, int], temperature: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep-rates for temperature-based corpus mixing
+    (multilingual-LM style: sampling probability proportional to
+    ``count^T``). A row of stratum ``s`` is kept with rate
+    ``(count_s / max_count)^(T-1)`` scaled so the LARGEST stratum's
+    rate is exactly the most down-weighted one (rate 1.0 goes to the
+    smallest stratum at T < 1) — i.e. rebalance by down-sampling the
+    head, never by replicating the tail. T = 1 keeps everything;
+    T = 0 aims at equal expected sizes (capped at each stratum's own
+    size). Driver-side floats only: the output feeds
+    :func:`weighted_sample`, which compiles each rate to a hex cut
+    string, so float math never reaches the data path."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError("temperature must be in [0, 1]")
+    if min(counts.values()) <= 0:
+        raise ValueError("all counts must be positive")
+    smallest = min(counts.values())
+    return {
+        s: min(1.0, (smallest / n) ** (1.0 - temperature))
+        for s, n in counts.items()
+    }
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling: keep a stable
+    ~``rates[stratum]`` fraction of each stratum's rows (data-mixing /
+    rebalancing for training corpora; pair with
+    :func:`temperature_rates` for temperature mixing). Strata missing
+    from ``rates`` fall back to ``default_rate`` (0.0 = drop —
+    explicit allowlist semantics).
+
+    Mechanics: keep row iff the first 8 hex chars of
+    ``md5(salt || ':' || key)`` compare lexicographically below the
+    stratum's precompiled hex cut (see module docstring) — pure
+    strings, so Spark and the DuckDB oracle agree on every row at any
+    scale, and the kept set is identical run-to-run and cluster-size-
+    independent. Monotone in the rates: raising any stratum's rate
+    only ever ADDS rows (nested samples — reproducible ablations).
+    The ``salt`` decorrelates this decision from other hash-based
+    operators keyed on the same column (splits, packing shards).
+
+    Scale: a pure projection filter — zero shuffle, zero UDF, pushes
+    down to the scan. The per-stratum CASE is O(|rates|) comparisons
+    of 8-char strings; for thousands of strata prefer a broadcast-join
+    of a (stratum, cut) dim, same semantics.
+    """
+    cuts = {s: rate_hex(r) for s, r in rates.items()}
+    default_cut = rate_hex(default_rate)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 8
+    )
+    # cut == None means rate 1.0: trivially true predicate.
+    default_pred = (
+        F.lit(True) if default_cut is None else prefix < F.lit(default_cut)
+    )
+    pred = default_pred
+    for s, cut in cuts.items():
+        keep = F.lit(True) if cut is None else prefix < F.lit(cut)
+        pred = F.when(F.col(stratum_col) == F.lit(s), keep).otherwise(pred)
+    return df.where(pred)

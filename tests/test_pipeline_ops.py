@@ -1024,3 +1024,110 @@ def test_tfidf_topk_matches_manual(spark):
     assert [r["token"] for r in by_doc[4]] == ["date", "common"]
     # every doc got exactly min(k, n_distinct_tokens) rows
     assert [len(by_doc[d]) for d in sorted(by_doc)] == [2, 2, 2, 2]
+
+
+def test_temperature_rates_math():
+    import pytest as _pytest
+
+    from knext_spark.pipeline import temperature_rates
+
+    counts = {"en": 1600, "fr": 400, "de": 100}
+    # T=1: keep everything (natural mixture)
+    assert temperature_rates(counts, 1.0) == {"en": 1.0, "fr": 1.0, "de": 1.0}
+    # T=0: equal expected sizes — every stratum down to the smallest
+    r0 = temperature_rates(counts, 0.0)
+    assert r0["de"] == 1.0
+    assert abs(r0["en"] - 100 / 1600) < 1e-12
+    assert abs(r0["fr"] - 100 / 400) < 1e-12
+    # T=0.5: the classic sqrt mixing — rate = sqrt(smallest/n)
+    rh = temperature_rates(counts, 0.5)
+    assert abs(rh["en"] - (100 / 1600) ** 0.5) < 1e-12
+    # monotone in T: hotter temperature keeps more of the head
+    assert rh["en"] > r0["en"]
+    with _pytest.raises(ValueError):
+        temperature_rates({}, 0.5)
+    with _pytest.raises(ValueError):
+        temperature_rates(counts, 2.0)
+    with _pytest.raises(ValueError):
+        temperature_rates({"en": 0}, 0.5)
+
+
+def test_weighted_sample_exact_replay_and_nesting(spark):
+    import hashlib
+
+    from knext_spark.pipeline import rate_hex, weighted_sample
+
+    rows = [(i, "en" if i % 4 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.25, "de": 1.0}
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df, rates, "lang", "doc_id").collect()
+    }
+    # exact python replay of the md5 cut — the operator is a pure
+    # deterministic function of (salt, key, stratum rate)
+    cuts = {s: rate_hex(r) for s, r in rates.items()}
+    expect = {
+        i
+        for i, lang in rows
+        if cuts[lang] is None
+        or hashlib.md5(f"ws:{i}".encode()).hexdigest()[:8] < cuts[lang]
+    }
+    assert got == expect
+    # rate-1.0 stratum kept wholesale
+    assert {i for i, lang in rows if lang == "de"} <= got
+    # monotone: raising a rate only adds rows (nested ablations)
+    more = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df, {"en": 0.5, "de": 1.0}, "lang", "doc_id"
+        ).collect()
+    }
+    assert got <= more
+    # unknown strata drop by default, kept with default_rate=1
+    extra = spark.createDataFrame([(9001, "xx")], "doc_id long, lang string")
+    both = df.union(extra)
+    assert (
+        weighted_sample(both, rates, "lang", "doc_id")
+        .where("lang = 'xx'")
+        .count()
+        == 0
+    )
+    assert (
+        weighted_sample(both, rates, "lang", "doc_id", default_rate=1.0)
+        .where("lang = 'xx'")
+        .count()
+        == 1
+    )
+    # partitioning-independent
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), rates, "lang", "doc_id"
+        ).collect()
+    }
+    assert again == got
+    # a different salt decorrelates the kept set
+    other = {
+        r["doc_id"]
+        for r in weighted_sample(df, rates, "lang", "doc_id", salt="v2").collect()
+    }
+    assert other != got
+
+
+def test_weighted_sample_temperature_end_to_end(spark):
+    """temperature_rates + weighted_sample rebalances a skewed corpus:
+    at T=0 the expected per-stratum sizes equalize."""
+    from knext_spark.pipeline import temperature_rates, weighted_sample
+
+    rows = [(i, "en" if i < 3200 else ("fr" if i < 4000 else "de")) for i in range(4200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {"en": 3200, "fr": 800, "de": 200}
+    out = weighted_sample(df, temperature_rates(counts, 0.0), "lang", "doc_id")
+    from collections import Counter
+
+    c = Counter(r["lang"] for r in out.collect())
+    assert c["de"] == 200  # smallest stratum untouched
+    # md5 uniformity: each down-sampled stratum lands near 200
+    assert abs(c["en"] - 200) < 60
+    assert abs(c["fr"] - 200) < 60
