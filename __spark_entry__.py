@@ -923,6 +923,92 @@ def _weighted_sample_sql() -> str:
         """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct tokens per language
+    (pipeline/sketch.py): registers/rho from md5 hex STRING ops only,
+    the harmonic sum an ordered left fold of exact power-of-two
+    doubles — hash-exact across engines (the linear-counting ln
+    follows tfidf's 1-ulp micros reasoning)."""
+    from knext_spark.pipeline import hll_distinct
+    from knext_spark.pipeline.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens_col("text")).alias("token")
+    )
+    out = hll_distinct(tok, "token", ["lang"], k_hex=3)
+    return out.select(
+        "lang",
+        "n_registers",
+        "v_zero",
+        _micros(F.col("estimate")).alias("estimate_micros"),
+    )
+
+
+def _hll_sql(k_hex: int = 3) -> str:
+    """DuckDB recomputation of the whole HLL pipeline, generated from
+    the same constants (alpha via pipeline/sketch._alpha — one source
+    of truth; both engines parse the identical repr literal)."""
+    from knext_spark.pipeline.sketch import _alpha
+
+    m = 16**k_hex
+    a_m2 = repr(_alpha(m) * m * m)
+    return f"""
+            with tok as (
+              select lang, unnest({_TOKENS}) as token from documents
+            ),
+            h as (
+              select lang, md5('hll:' || token) as hx from tok
+            ),
+            r0 as (
+              select lang, substr(hx, 1, {k_hex}) as register,
+                     substr(hx, {k_hex + 1}, 12) as suf
+              from h
+            ),
+            r as (
+              select lang, register,
+                     case when length(regexp_extract(suf, '^0*')) = 12 then 49
+                          else 4 * length(regexp_extract(suf, '^0*'))
+                               + case when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '8' then 0
+                                      when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '4' then 1
+                                      when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '2' then 2
+                                      else 3 end
+                               + 1 end as rho
+              from r0
+            ),
+            mx as (
+              select lang, register, max(rho) as rho
+              from r group by lang, register
+            ),
+            iv as (
+              select lang, register,
+                     cast(1.0 as double) / cast((1::bigint << rho) as double) as inv
+              from mx
+            ),
+            agg as (
+              select lang, count(*) as n_registers,
+                     list(inv order by register) as l
+              from iv group by lang
+            ),
+            est as (
+              select lang, n_registers, {m} - n_registers as v_zero,
+                     list_reduce(l, (a, b) -> a + b)
+                       + cast({m} - n_registers as double) as s
+              from agg
+            )
+            select lang,
+                   cast(n_registers as bigint) as n_registers,
+                   cast(v_zero as bigint) as v_zero,
+                   cast(floor(
+                     case when {a_m2} / s <= {repr(2.5 * m)} and v_zero > 0
+                          then cast({m} as double)
+                               * ln(cast({m} as double) / cast(v_zero as double))
+                          else {a_m2} / s end * 1000000 + 0.5) as bigint
+                   ) as estimate_micros
+            from est
+        """
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc duplicate-n-gram fraction (pipeline/text.py
     repetition_ratio — Gopher-style boilerplate detector): counts are
@@ -1325,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "hll_distinct_tokens": q_hll_distinct,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -2770,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang from r where rn <= 20
         """,
         "weighted_sample": _weighted_sample_sql(),
+        "hll_distinct_tokens": _hll_sql(),
         "line_dedup": """
             with toksrc as (
               select doc_id, string_split(text, ' ') as tk from documents

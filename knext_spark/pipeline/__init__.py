@@ -31,6 +31,12 @@ from knext_spark.pipeline.text import (  # noqa: F401
     tokens_col,
 )
 from knext_spark.pipeline.contamination import contamination  # noqa: F401
+from knext_spark.pipeline.sketch import (  # noqa: F401
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 from knext_spark.pipeline.packing import pack_sequences  # noqa: F401
 from knext_spark.pipeline.dedup import (  # noqa: F401
     dedup_clusters,

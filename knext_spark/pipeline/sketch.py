@@ -1,0 +1,177 @@
+"""HyperLogLog approximate distinct counting — mergeable sketches.
+
+Exact ``count(distinct key)`` over 100 TB is a full shuffle of every
+distinct key; the HLL sketch (Flajolet et al. 2007) replaces it with a
+fixed ``m``-register state per group: register = the first hash bits,
+value = max over rows of rho(remaining bits) (rho = position of the
+first 1-bit). ``groupBy(group, register).max(rho)`` is map-side
+combinable, so the shuffle carries at most ``groups x m`` tiny rows no
+matter the input size, and register tables MERGE by max — partial
+sketches per partition/day/source union into a corpus sketch for free
+(:func:`hll_merge`). Standard error ~= 1.04/sqrt(m) (m = 4096 ->
+~1.6%).
+
+Cross-engine exactness (the repo's oracle discipline): Spark's own
+``approx_count_distinct`` is a JVM-internal sketch DuckDB cannot
+reproduce, so this implementation derives EVERYTHING from ``md5`` hex
+strings both engines produce identically:
+
+- register id   = first ``k_hex`` hex chars of ``md5(salt:key)`` —
+  kept AS A STRING (m = 16^k_hex), so no numeric conversion exists on
+  either side;
+- rho           = 1 + leading zero BITS of the next 12 hex chars
+  (48-bit suffix), computed with string ops only: 4 x (leading '0'
+  chars, via regexp) + a CASE on the first non-zero hex char
+  ('8'-'f' -> 0, '4'-'7' -> 1, '2'-'3' -> 2, '1' -> 3);
+- 2^-rho        = ``1.0 / (1::bigint << rho)`` — a power of two, so
+  the double is EXACT (no libm);
+- the harmonic sum folds registers in register-string order on both
+  sides (Spark ``aggregate`` / DuckDB ``list_reduce`` are left folds)
+  — identical IEEE dag, bit-identical sum;
+- the one libm call (``ln`` in the small-range correction) follows the
+  same 1-ulp reasoning as tfidf's idf (micros-gated, boundary risk
+  ~1e-10).
+
+The reference has no distinct-counting surface at all (its one
+``distinct`` is exact row dedup, genes.py:210-212) — engine-mandate
+operator for the corpus-profiling family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_RHO_HEX = 12  # 48-bit suffix for rho; max rho = 49 (1::bigint << 49 is safe)
+
+
+def _alpha(m: int) -> float:
+    """Bias constant alpha_m (Flajolet et al. 2007, m >= 128).
+    Evaluated once in Python; both engines then parse the same repr()
+    literal to the same double."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_from_suffix(suffix: Column) -> Column:
+    """1 + leading-zero-bit count of the 48-bit hex suffix, pure
+    string ops (see module docstring)."""
+    z = F.length(F.regexp_extract(suffix, "^0*", 0))
+    first = suffix.substr(z + F.lit(1), F.lit(1))
+    extra = (
+        F.when(first >= "8", F.lit(0))
+        .when(first >= "4", F.lit(1))
+        .when(first >= "2", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        F.when(z == _RHO_HEX, F.lit(4 * _RHO_HEX + 1))
+        .otherwise(z * 4 + extra + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k_hex: int = 3,
+    salt: str = "hll",
+) -> DataFrame:
+    """The sketch state: one row per (group, register) with the max
+    rho seen — ``groups x 16^k_hex`` rows at most, map-side combined
+    before the (tiny) shuffle. Duplicate keys are harmless by
+    construction (same key -> same register/rho). Register tables from
+    disjoint slices of the data union-and-:func:`hll_merge` into the
+    sketch of the union — the property that makes incremental corpus
+    accounting free."""
+    if not 1 <= k_hex <= 8:
+        raise ValueError(f"k_hex must be in [1, 8], got {k_hex}")
+    hx = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    reg = F.substring(hx, 1, k_hex)
+    rho = _rho_from_suffix(F.substring(hx, k_hex + 1, _RHO_HEX))
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        df.select(*gcols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    registers: DataFrame, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables (e.g. a union of per-day sketches) into
+    one sketch per group: max per register, map-side combinable."""
+    return registers.groupBy(*group_cols, "register").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k_hex: int = 3,
+) -> DataFrame:
+    """Collapse a register table to per-group estimates. Returns
+    (group_cols..., n_registers, v_zero, estimate):
+
+    - raw estimate  E = alpha_m * m^2 / S, with
+      S = sum over ALL m registers of 2^-rho (absent registers hold
+      rho = 0, contributing 1.0 each — folded as the exact integer
+      ``v_zero * 1.0``);
+    - small-range correction (linear counting) when E <= 2.5 m and
+      empty registers remain: E = m * ln(m / v_zero).
+
+    The register fold is ordered (array_sort by register string), so
+    the DuckDB oracle reproduces S bit-for-bit; see module docstring.
+    One groupBy on group_cols over <= m rows per group — driver-free,
+    collect-free.
+    """
+    m = 16**k_hex
+    alpha = _alpha(m)
+    # 2^-rho per register BEFORE the fold: an exact power-of-two double
+    # (integer shift + one exact division, no libm).
+    inv = F.expr(
+        "cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), rho) as double)"
+    )
+    regs = F.array_sort(
+        F.collect_list(F.struct(F.col("register"), inv.alias("inv")))
+    )
+    out = registers.groupBy(*group_cols).agg(regs.alias("__regs"))
+    s_present = F.aggregate(
+        F.col("__regs"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["inv"],
+    )
+    n_reg = F.size("__regs").cast("long")
+    v_zero = F.lit(m).cast("long") - n_reg
+    s_total = s_present + v_zero.cast("double")
+    raw = F.lit(alpha * m * m) / s_total
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return out.select(
+        *group_cols,
+        n_reg.alias("n_registers"),
+        v_zero.alias("v_zero"),
+        corrected.alias("estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k_hex: int = 3,
+    salt: str = "hll",
+) -> DataFrame:
+    """End-to-end approximate ``count(distinct key_col)`` per group:
+    :func:`hll_registers` -> :func:`hll_estimate`. Two map-side-
+    combinable aggregations, the second over <= 16^k_hex rows per
+    group; nothing in the plan grows with the number of distinct
+    keys."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, k_hex, salt),
+        group_cols,
+        k_hex,
+    )

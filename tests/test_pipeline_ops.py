@@ -1131,3 +1131,74 @@ def test_weighted_sample_temperature_end_to_end(spark):
     # md5 uniformity: each down-sampled stratum lands near 200
     assert abs(c["en"] - 200) < 60
     assert abs(c["fr"] - 200) < 60
+
+
+def _py_hll_registers(keys, k_hex=3, salt="hll"):
+    import hashlib
+
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(f"{salt}:{k}".encode()).hexdigest()
+        reg, suf = h[:k_hex], h[k_hex : k_hex + 12]
+        z = len(suf) - len(suf.lstrip("0"))
+        if z == 12:
+            rho = 49
+        else:
+            c = suf[z]
+            extra = 0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3
+            rho = 4 * z + extra + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_replay(spark):
+    from knext_spark.pipeline import hll_registers
+
+    keys = [f"token{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["register"]: r["rho"]
+        for r in hll_registers(df, "k", k_hex=2).collect()
+    }
+    assert got == _py_hll_registers(keys, k_hex=2)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from knext_spark.pipeline import hll_distinct, hll_merge, hll_registers, hll_estimate
+
+    n = 20000
+    rows = [(f"k{i}", "a" if i % 2 else "b") for i in range(n)]
+    # duplicates must not move the sketch
+    df = spark.createDataFrame(rows + rows[:5000], "k string, g string")
+    est = {r["g"]: r for r in hll_distinct(df, "k", ["g"]).collect()}
+    for g, true_n in (("a", n // 2), ("b", n // 2)):
+        rel = abs(est[g]["estimate"] - true_n) / true_n
+        assert rel < 0.08, (g, est[g]["estimate"], true_n)
+    # mergeability: sketch(half1) U sketch(half2) == sketch(whole), exactly
+    whole = spark.createDataFrame(rows, "k string, g string")
+    h1 = hll_registers(whole.where("k < 'k5'"), "k", ["g"])
+    h2 = hll_registers(whole.where("k >= 'k5'"), "k", ["g"])
+    merged = hll_merge(h1.unionByName(h2), ["g"])
+    direct = hll_registers(whole, "k", ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and the merged estimate equals the direct estimate bit-for-bit
+    em = hll_estimate(merged, ["g"]).collect()
+    ed = hll_estimate(direct, ["g"]).collect()
+    assert sorted(map(tuple, em)) == sorted(map(tuple, ed))
+
+
+def test_hll_small_range_correction(spark):
+    """Tiny cardinalities ride the linear-counting branch and stay
+    accurate (the raw HLL estimator is badly biased down there)."""
+    from knext_spark.pipeline import hll_distinct
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(f"x{i % 30}",) for i in range(300)], "k string")
+    row = hll_distinct(df, "k").collect()[0]
+    assert row["n_registers"] <= 30
+    assert abs(row["estimate"] - 30) / 30 < 0.1
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "k", k_hex=0)
