@@ -707,6 +707,19 @@ def q_bfs_distances(spark, sf_dir):
     return bfs_distances(edges, seeds, max_iter=_BFS_HOPS).select("node", "dist")
 
 
+def q_pseudo_diameter(spark, sf_dir):
+    """Double-sweep pseudo-diameter (graph/bfs.py pseudo_diameter):
+    two chained BFS closures, sweep 2 seeded at sweep 1's farthest
+    node (ties -> min id) — all integers, cross-engine exact; same
+    _BFS_HOPS horizon as the other BFS oracles."""
+    from knext_spark.graph import pseudo_diameter
+
+    edges = _edge_table(spark, sf_dir)
+    return pseudo_diameter(edges, sweeps=2, max_iter=_BFS_HOPS).select(
+        "sweep", "source", "farthest", "ecc"
+    )
+
+
 def q_landmark_distances(spark, sf_dir):
     """Per-seed landmark BFS (graph/landmarks.py): (seed, node, dist)
     for every reached pair from the node%100 seed set — pure integers,
@@ -1400,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "triangles": q_triangles,
         "bfs_distances": q_bfs_distances,
+        "pseudo_diameter": q_pseudo_diameter,
         "landmark_distances": q_landmark_distances,
         "path_counts": q_path_counts,
         "random_walks": q_random_walks,
@@ -2627,6 +2641,46 @@ def oracle_sql() -> dict[str, str]:
             cnt as (select node, count(*) as c from tn group by node)
             select nodes.node, cast(coalesce(cnt.c, 0) as bigint) as triangles
             from nodes left join cnt using (node)
+        """,
+        "pseudo_diameter": f"""
+            with recursive e0 as ({_EDGE_SQL}),
+            e as (
+              select distinct src, dst from (
+                select src, dst from e0
+                union all
+                select dst as src, src as dst from e0
+              )
+            ),
+            nodes as (select distinct src as node from e),
+            s1 as (select min(node) as node from nodes),
+            r1(node, d) as (
+              select node, 0 from s1
+              union
+              select e.dst, r1.d + 1
+              from r1 join e on e.src = r1.node
+              where r1.d < {_BFS_HOPS}
+            ),
+            m1 as (select node, min(d) as dist from r1 group by node),
+            f1 as (
+              select node, dist from m1 order by dist desc, node asc limit 1
+            ),
+            r2(node, d) as (
+              select node, 0 from f1
+              union
+              select e.dst, r2.d + 1
+              from r2 join e on e.src = r2.node
+              where r2.d < {_BFS_HOPS}
+            ),
+            m2 as (select node, min(d) as dist from r2 group by node),
+            f2 as (
+              select node, dist from m2 order by dist desc, node asc limit 1
+            )
+            select cast(1 as int) as sweep, s1.node as source,
+                   f1.node as farthest, cast(f1.dist as bigint) as ecc
+            from s1, f1
+            union all
+            select cast(2 as int), f1.node, f2.node, cast(f2.dist as bigint)
+            from f1, f2
         """,
         "bfs_distances": f"""
             with recursive e as (

@@ -44,7 +44,11 @@ from knext_spark.graph.modularity import (  # noqa: F401
     modularity,
 )
 from knext_spark.graph.walks import random_walks  # noqa: F401
-from knext_spark.graph.bfs import bfs_distances, bfs_distances_run  # noqa: F401
+from knext_spark.graph.bfs import (  # noqa: F401
+    bfs_distances,
+    bfs_distances_run,
+    pseudo_diameter,
+)
 from knext_spark.graph.landmarks import (  # noqa: F401
     closeness_centrality_sampled,
     harmonic_centrality_sampled,

@@ -130,3 +130,63 @@ def bfs_distances(
     )
     unpersist_checkpoint(res.state)
     return out
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    sweeps: int = 2,
+    direction: str = "both",
+    start: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Double-sweep pseudo-diameter (Magnien-Latapy-Habib): BFS from a
+    deterministic start (min node id unless given), jump to the
+    farthest reached node (ties -> min id), BFS again; the largest
+    eccentricity seen is a tight LOWER bound on the true diameter at
+    the cost of ``sweeps`` BFS passes instead of all-pairs. Returns one
+    row per sweep: (sweep, source, farthest, ecc) — ``max(ecc)`` is
+    the pseudo-diameter; on a disconnected graph it bounds the start
+    node's component (seed other components via ``start``).
+
+    Scale: each sweep is one :func:`bfs_distances` run (O(E) total
+    frontier work, SuperstepRunner-checkpointed); the per-sweep argmax
+    is a global top-1 reduce (orderBy + limit 1), and only that single
+    row ever reaches the driver.
+    """
+    if sweeps < 1:
+        raise ValueError(f"sweeps must be >= 1, got {sweeps}")
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if start is None:
+        start = nodes.agg(F.min("node")).collect()[0][0]
+        if start is None:
+            raise ValueError("pseudo_diameter of an empty edge table")
+    node_type = edges.schema["src"].dataType
+    rows = []
+    src = start
+    for s in range(1, sweeps + 1):
+        seeds = nodes.where(F.col("node") == F.lit(src))
+        dist = bfs_distances(edges, seeds, direction=direction, max_iter=max_iter)
+        far = (
+            dist.where(F.col("dist").isNotNull())
+            .orderBy(F.desc("dist"), F.asc("node"))
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append((s, src, far["node"], int(far["dist"])))
+        src = far["node"]
+    schema = StructType(
+        [
+            StructField("sweep", IntegerType()),
+            StructField("source", node_type),
+            StructField("farthest", node_type),
+            StructField("ecc", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

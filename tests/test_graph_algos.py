@@ -1443,3 +1443,40 @@ def test_random_walks_deterministic_and_hash_argmin(spark):
         _edge_df(spark, pairs).repartition(5), seeds, length=4, walks_per_start=2
     )
     assert sorted(map(tuple, again.collect())) == got
+
+
+@pytest.mark.parametrize("gname", ["chain", "islands", "erdos", "hub"])
+def test_pseudo_diameter_vs_networkx(spark, gname):
+    """Double sweep: each sweep's ecc equals nx.eccentricity of its
+    source (within the start component, undirected), the second sweep
+    starts at the first's farthest node, and max(ecc) lower-bounds the
+    true diameter (exactly on trees: the chain)."""
+    import networkx as nx
+
+    from knext_spark.graph import pseudo_diameter
+
+    pairs = GRAPHS[gname]
+    out = pseudo_diameter(_edge_df(spark, pairs), sweeps=2).collect()
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    start = min(G.nodes)
+    comp = G.subgraph(nx.node_connected_component(G, start))
+    rows = sorted(out, key=lambda r: r["sweep"])
+    assert rows[0]["source"] == start
+    assert rows[1]["source"] == rows[0]["farthest"]
+    for r in rows:
+        assert r["ecc"] == nx.eccentricity(comp, r["source"])
+    pd = max(r["ecc"] for r in rows)
+    assert pd <= nx.diameter(comp)
+    if gname == "chain":
+        assert pd == nx.diameter(comp)
+
+
+def test_pseudo_diameter_rejects_bad_sweeps(spark):
+    import pytest as _pytest
+
+    from knext_spark.graph import pseudo_diameter
+
+    df = _edge_df(spark, [("a", "b")])
+    with _pytest.raises(ValueError):
+        pseudo_diameter(df, sweeps=0)
