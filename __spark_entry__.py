@@ -1214,6 +1214,72 @@ def q_k_core(spark, sf_dir):
     return k_core(_edge_table(spark, sf_dir), k=3)
 
 
+def q_k_truss(spark, sf_dir):
+    """k-truss of the SPARSE contract graph (mod=5000 — the dense
+    mod-1000 graph never peels at small k): iterative edge peeling by
+    within-subgraph triangle support, exact integers. Oracle: unrolled
+    materialized-CTE peeling rounds, idempotent at the fixpoint
+    (_ktruss_sql), same failure direction as k_core's."""
+    from knext_spark.graph import k_truss
+
+    return k_truss(_edge_table(spark, sf_dir, mod=5000), k=4).select(
+        "a", "b", "support"
+    )
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 16, edge: str | None = None) -> str:
+    """Unrolled k-truss peeling: each round keeps edges with >= k-2
+    common neighbors in the surviving subgraph (count(*) over the
+    two-sided symmetric-adjacency join = triangle support — no self
+    loops exist, so every joined row is a real common neighbor).
+    Idempotent at the fixpoint like _kcore_sql; a deeper-peeling graph
+    fails the gate loudly rather than passing wrongly. Valid for
+    k >= 3 only: the inner support join cannot see 0-support edges,
+    which the k = 2 truss would have to keep."""
+    if k < 3:
+        raise ValueError("_ktruss_sql is valid for k >= 3 only")
+    edge = edge or _edge_sql(5000)
+    parts = [
+        f"""
+        with e0 as materialized (
+          with e as ({edge})
+          select least(src, dst) as a, greatest(src, dst) as b
+          from e where src <> dst
+          group by 1, 2
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        adj{i} as materialized (
+          select a as u, b as v from {prev}
+          union all
+          select b as u, a as v from {prev}
+        ),
+        t{i} as materialized (
+          select e.a, e.b
+          from {prev} e
+          join adj{i} s1 on s1.u = e.a
+          join adj{i} s2 on s2.u = e.b and s2.v = s1.v
+          group by e.a, e.b
+          having count(*) >= {k - 2}
+        )""")
+        prev = f"t{i}"
+    parts.append(f""",
+        adjf as (
+          select a as u, b as v from {prev}
+          union all
+          select b as u, a as v from {prev}
+        )
+        select e.a, e.b, cast(count(*) as bigint) as support
+        from {prev} e
+        join adjf s1 on s1.u = e.a
+        join adjf s2 on s2.u = e.b and s2.v = s1.v
+        group by e.a, e.b
+    """)
+    return "".join(parts)
+
+
 def q_hits(spark, sf_dir):
     """Fixed-iteration HITS hubs & authorities (tol=0, K pinned to
     _PR_ITERS) so the unrolled DuckDB oracle computes the identical K
@@ -1444,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "k_core": q_k_core,
+        "k_truss": q_k_truss,
     }
 
 
@@ -3119,4 +3186,5 @@ def oracle_sql() -> dict[str, str]:
                          and r.us >= l.us and r.us <= l.us + 1800000000
         """,
         "k_core": _kcore_sql(3),
+        "k_truss": _ktruss_sql(4),
     }

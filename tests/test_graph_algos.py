@@ -1480,3 +1480,88 @@ def test_pseudo_diameter_rejects_bad_sweeps(spark):
     df = _edge_df(spark, [("a", "b")])
     with _pytest.raises(ValueError):
         pseudo_diameter(df, sweeps=0)
+
+
+def _nx_truss_edges(pairs, k):
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    T = nx.k_truss(G, k)
+    want = {}
+    for u, v in T.edges():
+        a, b = min(u, v), max(u, v)
+        want[(a, b)] = len(set(T[u]) & set(T[v]))
+    return want
+
+
+def test_k_truss_vs_networkx(spark, corpus_edges):
+    """Exact k-truss parity with nx.k_truss: same canonical edge set
+    AND the same within-truss support per edge, on the corpus graph,
+    the random graph, and a hand shape (two cliques sharing an edge +
+    a pendant triangle chain — the cascade case where dropping one
+    edge breaks another's triangles)."""
+    from knext_spark.graph import k_truss
+
+    for pairs, ks in ((corpus_edges, (3,)), (GRAPHS["erdos"], (3, 4))):
+        for k in ks:
+            got = {
+                (r["a"], r["b"]): r["support"]
+                for r in k_truss(_edge_df(spark, pairs), k=k).collect()
+            }
+            assert got == _nx_truss_edges(pairs, k)
+    # hand shape: K4 on a1..a4 glued to a triangle (a1, a2, t1), plus a
+    # chain of triangles t1-t2-t3 hanging off it. k=4 keeps only the K4
+    # (each K4 edge closes 2 triangles); the glued + chained triangles
+    # cascade away.
+    import itertools
+
+    k4 = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    glue = [("a1", "t1"), ("a2", "t1")]
+    chain = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    pairs = k4 + glue + chain
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(_edge_df(spark, pairs), k=4).collect()
+    }
+    assert got == _nx_truss_edges(pairs, 4)
+    assert set(got) == {tuple(sorted(e)) for e in k4}
+    # k=2: the whole simple graph survives (threshold 0)
+    got2 = {
+        (r["a"], r["b"]) for r in k_truss(_edge_df(spark, pairs), k=2).collect()
+    }
+    assert got2 == {tuple(sorted(e)) for e in pairs}
+
+
+def test_k_truss_rejects_k_below_two(spark):
+    import pytest as _pytest
+
+    from knext_spark.graph import k_truss
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="k >= 2"):
+        k_truss(e, k=1)
+
+
+def test_k_truss_resume_identical(spark, tmp_path):
+    """Kill-at-round-1 resume for truss peeling: interrupted + resumed
+    equals an uninterrupted run edge-for-edge and support-for-support."""
+    from knext_spark.graph import k_truss_run
+
+    import itertools
+
+    k4 = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    pairs = k4 + [("a1", "t1"), ("a2", "t1"), ("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    full = k_truss_run(spark, df, k=4, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    assert any(m.get("peeled", 0) > 0 for m in full.metrics)
+    killed = k_truss_run(
+        spark, df, k=4, checkpoint_dir=str(tmp_path / "p"), max_iter=1
+    )
+    assert not killed.converged
+    resumed = k_truss_run(
+        spark, df, k=4, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    want = sorted(map(tuple, full.state.collect()))
+    assert sorted(map(tuple, resumed.state.collect())) == want
