@@ -1022,6 +1022,28 @@ def _hll_sql(k_hex: int = 3) -> str:
         """
 
 
+def q_lm_score(spark, sf_dir):
+    """Char-bigram LM scoring against the English slice
+    (pipeline/lm.py lm_score): integer counts, the per-doc sum an
+    ordered (bigram-string) left fold, ln the only libm call —
+    micros-gated like tfidf."""
+    from knext_spark.pipeline import lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_score(docs, ref=docs.where("lang = 'en'"))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _micros(F.col("avg_logp")).alias("avg_logp_micros"),
+    )
+
+
+_LM_BIGRAMS = (
+    "list_transform(range(1, length(lower(text))),"
+    " i -> substr(lower(text), i, 2))"
+)
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc duplicate-n-gram fraction (pipeline/text.py
     repetition_ratio — Gopher-style boilerplate detector): counts are
@@ -1492,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "hll_distinct_tokens": q_hll_distinct,
+        "lm_score": q_lm_score,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -2979,6 +3002,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_sample": _weighted_sample_sql(),
         "hll_distinct_tokens": _hll_sql(),
+        "lm_score": f"""
+            with ref as (
+              select text from documents where lang = 'en'
+            ),
+            mb as (
+              select unnest({_LM_BIGRAMS}) as bigram from ref
+            ),
+            model as (
+              select bigram, count(*) as cnt from mb group by bigram
+            ),
+            tot as (
+              select cast(sum(cnt) as bigint) as total,
+                     cast(count(*) as bigint) as v
+              from model
+            ),
+            db as (
+              select doc_id, unnest({_LM_BIGRAMS}) as bigram from documents
+            ),
+            tf as (
+              select doc_id, bigram, count(*) as tf
+              from db group by doc_id, bigram
+            ),
+            terms as (
+              select tf.doc_id, tf.bigram, tf.tf,
+                     tf.tf::double
+                       * (ln(coalesce(model.cnt, 0)::double + 1.0)
+                          - ln((tot.total + tot.v)::double)) as term
+              from tf left join model using (bigram) cross join tot
+            ),
+            agg as (
+              select doc_id, cast(sum(tf) as bigint) as n_bigrams,
+                     list_reduce(list(term order by bigram), (a, b) -> a + b) as s
+              from terms group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(agg.n_bigrams, 0) as bigint) as n_bigrams,
+                   cast(floor(agg.s / agg.n_bigrams::double * 1000000 + 0.5)
+                        as bigint) as avg_logp_micros
+            from documents d left join agg using (doc_id)
+        """,
         "line_dedup": """
             with toksrc as (
               select doc_id, string_split(text, ' ') as tk from documents

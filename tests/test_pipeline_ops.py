@@ -1202,3 +1202,59 @@ def test_hll_small_range_correction(spark):
     assert abs(row["estimate"] - 30) / 30 < 0.1
     with _pytest.raises(ValueError):
         hll_distinct(df, "k", k_hex=0)
+
+
+def test_lm_score_python_replay(spark):
+    """Hand corpus: exact add-one bigram math replayed in python
+    (same lower(), same smoothing, same average)."""
+    import math
+    from collections import Counter
+
+    from knext_spark.pipeline import lm_score
+
+    ref_texts = {10: "abab", 11: "abcd"}
+    rows = [(i, t) for i, t in ref_texts.items()] + [(12, "Abca"), (13, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.where("doc_id < 12")
+    got = {r["doc_id"]: r for r in lm_score(df, ref).collect()}
+
+    def bgs(t):
+        t = t.lower()
+        return [t[i : i + 2] for i in range(len(t) - 1)]
+
+    model = Counter()
+    for t in ref_texts.values():
+        model.update(bgs(t))
+    total, v = sum(model.values()), len(model)
+
+    for i, t in [(i, t) for i, t in rows]:
+        b = bgs(t)
+        if not b:
+            assert got[i]["n_bigrams"] == 0 and got[i]["avg_logp"] is None
+            continue
+        want = sum(
+            math.log((model.get(x, 0) + 1) / (total + v)) for x in b
+        ) / len(b)
+        assert got[i]["n_bigrams"] == len(b)
+        assert abs(got[i]["avg_logp"] - want) < 1e-9, (i, got[i], want)
+    # the in-reference doc scores higher than the OOV-heavy one
+    assert got[10]["avg_logp"] > got[12]["avg_logp"]
+
+
+def test_lm_score_separates_languages(spark):
+    """Trained on the English slice of the synthetic corpus, English
+    documents average a higher log-prob than non-Latin ones."""
+    from knext_spark.pipeline import lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert "en" in langs and "zh" in langs
+    ref = docs.where("lang = 'en'")
+    scored = lm_score(docs, ref).join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["lang"]: r["m"]
+        for r in scored.groupBy("lang")
+        .agg(F.avg("avg_logp").alias("m"))
+        .collect()
+    }
+    assert means["en"] > means["zh"]
