@@ -1043,6 +1043,29 @@ _LM_BIGRAMS = (
     " i -> substr(lower(text), i, 2))"
 )
 
+_HQ_MICROS = [250000, 500000, 900000, 990000]  # q * 1e6, integers
+
+
+def q_token_hist_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin histogram + interpolated quantiles of the
+    per-doc token count, per language (pipeline/sketch.py histogram /
+    histogram_quantiles): integer `div` binning, cumulative-sum window
+    bin search, one float dag with NO libm — hash-exact."""
+    from knext_spark.pipeline import histogram, histogram_quantiles
+    from knext_spark.pipeline.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    tc = docs.select("lang", F.size(tokens_col("text")).alias("v"))
+    h = histogram(tc, "v", 0, 2048, 64, ["lang"])
+    qs = [m / 1000000 for m in _HQ_MICROS]
+    out = histogram_quantiles(h, qs, 0, 2048, 64, ["lang"])
+    return out.select(
+        "lang",
+        _micros(F.col("q")).alias("q_micros"),
+        F.col("n"),
+        _micros(F.col("estimate")).alias("est_micros"),
+    )
+
 
 def q_repetition(spark, sf_dir):
     """Intra-doc duplicate-n-gram fraction (pipeline/text.py
@@ -1515,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hll_distinct_tokens": q_hll_distinct,
         "lm_score": q_lm_score,
+        "token_hist_quantiles": q_token_hist_quantiles,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -3002,6 +3026,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_sample": _weighted_sample_sql(),
         "hll_distinct_tokens": _hll_sql(),
+        "token_hist_quantiles": f"""
+            with tc as (
+              select lang, len({_TOKENS}) as v from documents
+            ),
+            h as (
+              select lang,
+                     least(greatest(v * 64, 0) // 2048, 63) as bin,
+                     count(*) as cnt
+              from tc group by lang, bin
+            ),
+            c as (
+              select lang, bin, cnt,
+                     sum(cnt) over (
+                       partition by lang order by bin
+                     ) as cum,
+                     sum(cnt) over (partition by lang) as n
+              from h
+            ),
+            qv as (select unnest({_HQ_MICROS}) as qm),
+            tgt as (
+              select c.*, qv.qm,
+                     greatest(cast(ceil(
+                       cast(qm as double) / cast(1000000 as double)
+                         * cast(n as double)
+                     ) as bigint), 1) as target
+              from c cross join qv
+            ),
+            sel as (
+              select lang, qm, n, bin, cnt, cum, target,
+                     row_number() over (
+                       partition by lang, qm order by bin
+                     ) as rn
+              from tgt where cum >= target
+            )
+            select lang,
+                   cast(qm as bigint) as q_micros,
+                   cast(n as bigint) as n,
+                   cast(floor(
+                     (cast(0 as double)
+                      + (cast(bin as double)
+                         + cast(target - (cum - cnt) as double)
+                           / cast(cnt as double)) * cast(32 as double))
+                     * 1000000 + 0.5) as bigint) as est_micros
+            from sel where rn = 1
+        """,
         "lm_score": f"""
             with ref as (
               select text from documents where lang = 'en'

@@ -1660,6 +1660,163 @@ def run_newops(sf_dir: str, levels=(2, 8)) -> dict:
     }
 
 
+def run_r5ops(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for the late-round-5 additions:
+
+    - corpus: hll_distinct (approximate distinct tokens per 16-way
+      group — the shuffle is capped at groups x 4096 register rows no
+      matter the input) and lm_score (char-bigram model trained on a
+      ~1% slice, broadcast-probed in one corpus pass) over a k-fold
+      replicated documents table;
+    - graph: k_truss peeling at FIXED 3 rounds (per-round triangle
+      enumeration + Parquet commit — fixed rounds make the two levels
+      run the identical job, like the pagerank scaling protocol) and
+      pseudo_diameter (2 chained BFS sweeps) over the KGML-derived
+      encoded edge table.
+
+    Protocol mirrors --newops: inputs written once to shared Parquet,
+    each level reads the same bytes, min-of-runs walls, rows-or-edges
+    /sec + per-pair scaling efficiency."""
+    from knext_spark.session import get_spark
+    from knext_spark.graph import k_truss_run, pseudo_diameter
+    from knext_spark.pipeline import hll_distinct, lm_score
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_NO_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_NO_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_NO_DOCS", "20000"))
+    runs = int(os.environ.get("SPARK_GRAFT_NO_RUNS", "2"))
+    doc_reps = int(os.environ.get("SPARK_GRAFT_NO_DOC_REPS", "100"))
+    truss_rounds = int(os.environ.get("SPARK_GRAFT_TRUSS_ROUNDS", "3"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_r5_edges_")
+    docs_dir = tempfile.mkdtemp(prefix="bench_r5_docs_")
+    spark = get_spark(
+        "bench_r5_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    (
+        base.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    (
+        docs0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(doc_reps - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") * doc_reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_r5_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        docs = spark.read.parquet(docs_dir).persist()
+        n_rows = docs.count()
+        level = {"n_edges": n_edges, "n_docs": n_rows}
+        tok = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(16)).alias("grp"),
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("token"),
+        )
+        lm_ref = docs.where(F.col("doc_id") % 101 == 0)
+
+        def _truss():
+            ck = tempfile.mkdtemp(prefix="bench_truss_", dir=shm)
+            res = k_truss_run(
+                spark, edges, k=3, checkpoint_dir=ck, max_iter=truss_rounds
+            )
+            return res.state
+
+        for name, denom, materialize, fn in (
+            ("hll_distinct", n_rows, True,
+             lambda: hll_distinct(tok, "token", ["grp"])),
+            ("lm_score", n_rows, True, lambda: lm_score(docs, ref=lm_ref)),
+            (f"k_truss_{truss_rounds}rounds", n_edges * truss_rounds, False,
+             _truss),
+            ("pseudo_diameter", n_edges * 2, False,
+             lambda: pseudo_diameter(edges, sweeps=2, max_iter=16)),
+        ):
+            walls, rows = [], None
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn()
+                if materialize:
+                    df.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+                rows = df.count()
+            w = min(walls)
+            level[name] = {
+                "wall_s": round(w, 2),
+                "rows_per_sec": round(denom / w, 1),
+                "out_rows": rows,
+                "walls": [round(x, 2) for x in walls],
+            }
+        out[f"local[{cpus}]"] = level
+        edges.unpersist()
+        docs.unpersist()
+        spark.stop()
+
+    algos = (
+        "hll_distinct", "lm_score", f"k_truss_{truss_rounds}rounds",
+        "pseudo_diameter",
+    )
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in algos:
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["rows_per_sec"]
+                / out[f"local[{lo}]"][algo]["rows_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    return {
+        "metric": "r5ops_scaling_efficiency",
+        "value": pairs[f"hll_distinct:{levels[0]}->{levels[1]}"],
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "n_docs_graph": n_docs,
+        "doc_reps": doc_reps,
+        "truss_rounds": truss_rounds,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
@@ -1772,6 +1929,8 @@ if __name__ == "__main__":
         emit(run_linkpred(sf_dir))
     elif "--newops" in sys.argv:
         emit(run_newops(sf_dir))
+    elif "--r5ops" in sys.argv:
+        emit(run_r5ops(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))

@@ -32,6 +32,8 @@ from knext_spark.pipeline.text import (  # noqa: F401
 )
 from knext_spark.pipeline.contamination import contamination  # noqa: F401
 from knext_spark.pipeline.sketch import (  # noqa: F401
+    histogram,
+    histogram_quantiles,
     hll_distinct,
     hll_estimate,
     hll_merge,

@@ -175,3 +175,111 @@ def hll_distinct(
         group_cols,
         k_hex,
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    bins: int = 64,
+    group_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram: (group_cols..., bin, cnt) with
+    ``bin = clamp((v - lo) * bins div (hi - lo), 0, bins - 1)`` over
+    INTEGER bounds — pure integer arithmetic (``div``, never float
+    division), so the DuckDB oracle agrees on every row at any
+    magnitude and histograms from disjoint slices merge by summing
+    counts. The 100 TB story: exact quantiles need a full sort; this
+    is one map-side-combinable groupBy whose shuffle carries at most
+    ``groups x bins`` rows. Values outside [lo, hi) clamp into the
+    edge bins (they stay visible instead of silently vanishing)."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("long")
+    # clamp the numerator at 0 BEFORE the integer division so the
+    # floor semantics of negative division never matter
+    num = F.greatest(
+        (v - F.lit(int(lo))) * F.lit(int(bins)), F.lit(0).cast("long")
+    )
+    tmp = df.select(*[F.col(c) for c in group_cols], num.alias("__num"))
+    b = F.least(
+        F.expr(f"__num div {int(hi - lo)}"), F.lit(bins - 1).cast("long")
+    )
+    return (
+        tmp.select(*[F.col(c) for c in group_cols], b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: int,
+    hi: int,
+    bins: int = 64,
+    group_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group approximate quantiles from a :func:`histogram` table:
+    for each q, find the first bin whose cumulative count reaches
+    ``target = max(1, ceil(q * N))`` and interpolate linearly inside
+    it — ``est = lo + (bin + (target - cum_before) / cnt_bin) * width``
+    — error bounded by one bin width. Returns
+    (group_cols..., q, n, estimate).
+
+    Cross-engine exactness: counts and targets are integers (``ceil``
+    of an exact double product; q and width are parsed from the same
+    repr literals on both sides), the bin search is a cumulative-sum
+    window over the <= ``bins`` rows of each group, and the estimate
+    is one fixed IEEE dag of integer-valued doubles — hash-exact, no
+    libm anywhere."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins  # python IEEE division, repr-shared
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(
+        F.lit(1)
+    )
+    c = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wg).cast("long").alias("n"),
+    )
+    pieces = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        target = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("n").cast("double")).cast("long"),
+            F.lit(1).cast("long"),
+        )
+        cand = c.withColumn("__target", target).where(
+            F.col("__cum") >= F.col("__target")
+        )
+        first = cand.withColumn(
+            "__rn", F.row_number().over(w)
+        ).where(F.col("__rn") == 1)
+        est = F.lit(float(lo)) + (
+            F.col("bin").cast("double")
+            + (F.col("__target") - (F.col("__cum") - F.col("cnt"))).cast(
+                "double"
+            )
+            / F.col("cnt").cast("double")
+        ) * F.lit(width)
+        pieces.append(
+            first.select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                F.col("n"),
+                est.alias("estimate"),
+            )
+        )
+    out = pieces[0]
+    for r in pieces[1:]:
+        out = out.unionByName(r)
+    return out

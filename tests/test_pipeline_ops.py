@@ -1258,3 +1258,74 @@ def test_lm_score_separates_languages(spark):
         .collect()
     }
     assert means["en"] > means["zh"]
+
+
+def test_histogram_bins_and_merge(spark):
+    import pytest as _pytest
+
+    from knext_spark.pipeline import histogram
+
+    rows = [(i, "g%d" % (i % 2)) for i in range(-5, 205)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    h = histogram(df, "v", lo=0, hi=200, bins=10, group_cols=["g"])
+    got = {(r["g"], r["bin"]): r["cnt"] for r in h.collect()}
+    # python replay of the same clamp + integer division
+    want = {}
+    for v, g in rows:
+        b = min(max((v - 0) * 10, 0) // 200, 9)
+        want[(g, b)] = want.get((g, b), 0) + 1
+    assert got == want
+    # mergeability: histogram(half1) + histogram(half2) == histogram(all)
+    h1 = histogram(df.where("v < 100"), "v", 0, 200, 10, ["g"])
+    h2 = histogram(df.where("v >= 100"), "v", 0, 200, 10, ["g"])
+    merged = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in h1.unionByName(h2)
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == want
+    with _pytest.raises(ValueError):
+        histogram(df, "v", 10, 10)
+    with _pytest.raises(ValueError):
+        histogram(df, "v", 0, 10, bins=0)
+
+
+def test_histogram_quantiles_accuracy(spark):
+    """Estimates land within one bin width of the exact quantiles, and
+    a fine-enough histogram on integer data is exact at the bin
+    midpoint level; python replay of the interpolation dag."""
+    import math
+
+    from knext_spark.pipeline import histogram, histogram_quantiles
+
+    import pytest as _pytest
+
+    rows = [(i % 1000, "a") for i in range(3000)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    h = histogram(df, "v", 0, 1000, 50, ["g"])
+    out = histogram_quantiles(h, [0.0, 0.25, 0.5, 0.9], 0, 1000, 50, ["g"])
+    got = {r["q"]: r for r in out.collect()}
+    vals = sorted(v for v, _ in rows)
+    n = len(vals)
+    for q, r in got.items():
+        assert r["n"] == n
+        exact = vals[max(0, math.ceil(q * n) - 1)]
+        assert abs(r["estimate"] - exact) <= 20 + 1e-9, (q, r, exact)
+    # python replay: cumulative bins + the same interpolation
+    hist = {}
+    for v, _ in rows:
+        b = min(max(v * 50, 0) // 1000, 49)
+        hist[b] = hist.get(b, 0) + 1
+    for q, r in got.items():
+        target = max(1, math.ceil(q * n))
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= target:
+                est = 0 + (b + (target - cum) / hist[b]) * (1000 / 50)
+                break
+            cum += hist[b]
+        assert abs(r["estimate"] - est) < 1e-12
+    with _pytest.raises(ValueError):
+        histogram_quantiles(h, [1.5], 0, 1000, 50, ["g"])
