@@ -9,15 +9,16 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|modularity
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|ktruss|diameter|modularity
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume for the iterative ones (pagerank
                 takes --personalization, a parquet of (node, p)
                 teleport seeds; jaccard takes --min-common and the
                 --max-apex-degree hub governor; bfs and betweenness
-                take --sources, a parquet of (node) seeds; modularity
-                takes --labels, a parquet of (node, label), and prints
-                the scalar Q)
+                take --sources, a parquet of (node) seeds; ktruss
+                takes -k; diameter takes --sweeps; modularity takes
+                --labels, a parquet of (node, label), and prints the
+                scalar Q)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -200,6 +201,22 @@ def cmd_graph(args):
         ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
         return
+    elif args.verb == "ktruss":
+        from knext_spark.graph import k_truss_run
+
+        res = k_truss_run(
+            spark, edges, k=args.k, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume, max_iter=args.max_iter,
+        )
+    elif args.verb == "diameter":
+        from knext_spark.graph import pseudo_diameter
+
+        pseudo_diameter(
+            edges, sweeps=args.sweeps, direction=args.direction,
+            max_iter=args.max_iter,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return
     elif args.verb == "modularity":
         from knext_spark.graph import modularity as _q
 
@@ -293,7 +310,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     for verb in (
         "pagerank", "hits", "cc", "scc", "lpa", "triangles",
-        "clustering", "jaccard", "bfs", "betweenness",
+        "clustering", "jaccard", "bfs", "betweenness", "ktruss",
+        "diameter",
     ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
@@ -313,9 +331,16 @@ def build_parser() -> argparse.ArgumentParser:
         # jaccard only: selectivity floor + hub governor
         s.add_argument("--min-common", type=int, default=1)
         s.add_argument("--max-apex-degree", type=int, default=None)
-        # bfs only: seed parquet (node) + edge direction
+        # bfs/diameter: seed parquet (node) + edge direction
         s.add_argument("--sources", default=None)
-        s.add_argument("--direction", default="out", choices=["out", "in", "both"])
+        s.add_argument(
+            "--direction",
+            default="out" if verb == "bfs" else "both",
+            choices=["out", "in", "both"],
+        )
+        # ktruss only: the support threshold; diameter only: sweeps
+        s.add_argument("-k", type=int, default=3)
+        s.add_argument("--sweeps", type=int, default=2)
         s.set_defaults(fn=cmd_graph)
     return p
 

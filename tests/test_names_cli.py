@@ -53,3 +53,7 @@ def test_cli_parser_all_verbs():
          "--personalization", "/seeds"]
     )
     assert a.personalization == "/seeds"
+    a = p.parse_args(["ktruss", "--edges", "/e", "--out", "/o", "-k", "4"])
+    assert a.verb == "ktruss" and a.k == 4
+    a = p.parse_args(["diameter", "--edges", "/e", "--out", "/o", "--sweeps", "3"])
+    assert a.verb == "diameter" and a.sweeps == 3 and a.direction == "both"
