@@ -479,6 +479,30 @@ def q_minhash_dedup(spark, sf_dir):
     return out.select("a", "b", _micros(F.col("jaccard")).alias("jaccard_micros"))
 
 
+def q_dedup_against(spark, sf_dir):
+    """Incremental dedup across the corpus boundary (pipeline/dedup.py
+    dedup_against): docs with doc_id % 3 != 0 are the 'new batch',
+    % 3 == 0 the 'seen corpus'. Exact via normalized-md5 anti-probe,
+    near via cross-side LSH bands + exact-Jaccard verify — integers
+    plus one division, micros-gated."""
+    from knext_spark.pipeline import dedup_against
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_against(
+        docs.where("doc_id % 3 != 0"),
+        docs.where("doc_id % 3 = 0"),
+        threshold=0.5,
+    )
+    return out.select(
+        "doc_id",
+        "exact_dup",
+        F.col("exact_dup_of").cast("long").alias("exact_dup_of"),
+        "near_dup",
+        F.col("near_dup_of").cast("long").alias("near_dup_of"),
+        _micros(F.col("near_jaccard")).alias("near_jaccard_micros"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive fuzzy-dedup clustering (pipeline/dedup.py:
     dedup_clusters): minhash pairs -> CC closure -> per-doc
@@ -1509,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_against": q_dedup_against,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -2592,6 +2617,87 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(8),
         "lsh_candidates": _lsh_cand_sql(),
         "minhash_dedup": _jaccard_sql(0.2, with_lsh=True),
+        "dedup_against": f"""
+            with sig as ({_minhash_sql(8)}),
+            bands as ({" union all ".join(
+                f"select doc_id, {b} as band,"
+                f" md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) as band_key from sig"
+                for b in range(4)
+            )}),
+            nh as (
+              select doc_id as a,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as h
+              from documents where doc_id % 3 <> 0
+            ),
+            shh as (
+              select doc_id as b,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as h
+              from documents where doc_id % 3 = 0
+            ),
+            exact as (
+              select a, min(b) as exact_dup_of
+              from nh left join shh using (h) group by a
+            ),
+            bn as (select * from bands where doc_id % 3 <> 0),
+            bs as (select * from bands where doc_id % 3 = 0),
+            kn as (
+              select band, band_key from bn
+              group by band, band_key having count(*) <= 10000
+            ),
+            ks as (
+              select band, band_key from bs
+              group by band, band_key having count(*) <= 10000
+            ),
+            bn2 as (select bn.* from bn join kn using (band, band_key)),
+            bs2 as (select bs.* from bs join ks using (band, band_key)),
+            cand as (
+              select distinct n.doc_id as a, s.doc_id as b
+              from bn2 n join bs2 s using (band, band_key)
+            ),
+            sh as (select doc_id, {_shingles_sql(3)} as shs from documents),
+            exn as (
+              select s.doc_id as a, unnest(s.shs) as sh from sh s
+              where s.doc_id in (select a from cand)
+            ),
+            exs as (
+              select s.doc_id as b, unnest(s.shs) as sh from sh s
+              where s.doc_id in (select b from cand)
+            ),
+            inter as (
+              select exn.a, exs.b, count(*) as inter
+              from exn join exs on exn.sh = exs.sh
+              join cand on cand.a = exn.a and cand.b = exs.b
+              group by exn.a, exs.b
+            ),
+            sizes as (select doc_id, len(shs) as n from sh),
+            ver as (
+              select i.a, i.b,
+                     i.inter / (na.n + nb.n - i.inter) as j
+              from inter i
+              join sizes na on na.doc_id = i.a
+              join sizes nb on nb.doc_id = i.b
+              where i.inter / (na.n + nb.n - i.inter) >= 0.5
+            ),
+            near as (
+              select a, near_dup_of, j from (
+                select a, b as near_dup_of, j,
+                       row_number() over (partition by a order by b) as rn
+                from ver
+              ) where rn = 1
+            )
+            select n.doc_id,
+                   e.exact_dup_of is not null as exact_dup,
+                   cast(e.exact_dup_of as bigint) as exact_dup_of,
+                   near.near_dup_of is not null as near_dup,
+                   cast(near.near_dup_of as bigint) as near_dup_of,
+                   cast(floor(near.j * 1000000 + 0.5) as bigint)
+                     as near_jaccard_micros
+            from (
+              select distinct doc_id from documents where doc_id % 3 <> 0
+            ) n
+            left join exact e on e.a = n.doc_id
+            left join near on near.a = n.doc_id
+        """,
         "dedup_clusters": f"""
             with recursive mh as ({_jaccard_sql(0.2, with_lsh=True)}),
             und as (select a, b from mh union select b as a, a as b from mh),

@@ -420,3 +420,135 @@ def line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    w: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Incremental dedup: flag every NEW document that duplicates the
+    SEEN corpus (the daily-crawl-vs-historical-corpus shape — dedup
+    within a batch is :func:`minhash_dedup_pairs`; this is dedup
+    ACROSS the corpus boundary, without ever pairing seen docs with
+    each other). Flag-don't-drop, one row per new doc:
+
+    (key, exact_dup, exact_dup_of, near_dup, near_dup_of,
+    near_jaccard) — ``exact_dup_of`` = smallest seen key with the same
+    normalized-md5 content hash; ``near_dup_of`` = smallest seen key
+    whose verified w-shingle Jaccard >= ``threshold`` (with that
+    pair's Jaccard), candidates generated by cross-side MinHash-LSH
+    band buckets exactly like :func:`lsh_candidate_pairs` but
+    new x seen only.
+
+    Scale: the seen side ships as band buckets + signatures (k + bands
+    columns per doc, not text); buckets above ``max_bucket`` on either
+    side are pruned (the boilerplate guard — same failure direction as
+    lsh_candidate_pairs); verification joins explode only candidate
+    docs' shingles. In steady state the seen side's signatures/buckets
+    are precomputed once and appended per batch — each increment costs
+    O(new batch), not O(corpus).
+    """
+    nh = new.select(
+        F.col(key).alias("a"),
+        F.md5(norm_text(text_col).cast("binary")).alias("h"),
+    )
+    sh_seen = seen.select(
+        F.col(key).alias("b"),
+        F.md5(norm_text(text_col).cast("binary")).alias("h"),
+    )
+    exact = (
+        nh.join(sh_seen, "h", "left")
+        .groupBy("a")
+        .agg(F.min("b").alias("exact_dup_of"))
+    )
+
+    bk_new = lsh_bands(minhash_signatures(new, text_col, key, k, w), key, bands, rows)
+    bk_seen = lsh_bands(
+        minhash_signatures(seen, text_col, key, k, w), key, bands, rows
+    )
+    if max_bucket is not None:
+        sizes_n = bk_new.groupBy("band", "band_key").agg(F.count("*").alias("sz"))
+        sizes_s = bk_seen.groupBy("band", "band_key").agg(F.count("*").alias("sz"))
+        bk_new = bk_new.join(
+            sizes_n.where(F.col("sz") <= max_bucket).select("band", "band_key"),
+            ["band", "band_key"],
+        )
+        bk_seen = bk_seen.join(
+            sizes_s.where(F.col("sz") <= max_bucket).select("band", "band_key"),
+            ["band", "band_key"],
+        )
+    cand = (
+        bk_new.select(F.col(key).alias("a"), "band", "band_key")
+        .join(
+            bk_seen.select(F.col(key).alias("b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+    shs_new = new.select(
+        F.col(key).alias("a"), shingles_col(text_col, w).alias("shs")
+    )
+    shs_seen = seen.select(
+        F.col(key).alias("b"), shingles_col(text_col, w).alias("shs")
+    )
+    na = shs_new.select("a", F.size("shs").alias("na"))
+    nb = shs_seen.select("b", F.size("shs").alias("nb"))
+    ex_new = shs_new.join(cand.select("a").distinct(), "a").select(
+        "a", F.explode("shs").alias("sh")
+    )
+    ex_seen = shs_seen.join(cand.select("b").distinct(), "b").select(
+        "b", F.explode("shs").alias("sh")
+    )
+    inter = (
+        ex_new.join(ex_seen, "sh")
+        .join(cand, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    wnear = Window.partitionBy("a").orderBy("b")
+    near = (
+        verified.withColumn("__rn", F.row_number().over(wnear))
+        .where(F.col("__rn") == 1)
+        .select(
+            "a",
+            F.col("b").alias("near_dup_of"),
+            F.col("jaccard").alias("near_jaccard"),
+        )
+    )
+    return (
+        new.select(F.col(key).alias("a"))
+        .distinct()
+        .join(exact, "a", "left")
+        .join(near, "a", "left")
+        .select(
+            F.col("a").alias(key),
+            F.col("exact_dup_of").isNotNull().alias("exact_dup"),
+            "exact_dup_of",
+            F.col("near_dup_of").isNotNull().alias("near_dup"),
+            "near_dup_of",
+            "near_jaccard",
+        )
+    )

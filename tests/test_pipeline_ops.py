@@ -1329,3 +1329,57 @@ def test_histogram_quantiles_accuracy(spark):
         assert abs(r["estimate"] - est) < 1e-12
     with _pytest.raises(ValueError):
         histogram_quantiles(h, [1.5], 0, 1000, 50, ["g"])
+
+
+def test_dedup_against_semantics(spark):
+    """Incremental dedup vs a seen corpus: an exact (normalized) copy
+    flags exact+near with the right seen ids; a one-word edit flags
+    near only; a fresh doc flags nothing; seen docs are never paired
+    with each other."""
+    from knext_spark.pipeline import dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely different reference material here entirely"),
+         (3, base.replace("lazy", "sleepy"))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "  THE quick   brown fox jumps over the lazy dog again and again "),
+            (102, base.replace("dog", "cat")),
+            (103, "nothing like anything in the historical corpus at all friends"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_against(new, seen, threshold=0.5).collect()}
+    assert got[101]["exact_dup"] and got[101]["exact_dup_of"] == 1
+    assert got[101]["near_dup"] and got[101]["near_dup_of"] == 1
+    assert abs(got[101]["near_jaccard"] - 1.0) < 1e-12
+    assert not got[102]["exact_dup"]
+    assert got[102]["near_dup"] and got[102]["near_dup_of"] in (1, 3)
+    assert 0.5 <= got[102]["near_jaccard"] < 1.0
+    assert not got[103]["exact_dup"] and not got[103]["near_dup"]
+    assert got[103]["near_jaccard"] is None
+    # every new doc exactly once
+    assert sorted(got) == [101, 102, 103]
+
+
+def test_dedup_against_python_jaccard_replay(spark):
+    """The reported near_jaccard equals the exact w-shingle Jaccard
+    computed in python for the flagged pair."""
+    from knext_spark.pipeline import dedup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base.replace("epsilon", "omicron")
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(201, edited)], "doc_id long, text string")
+    got = dedup_against(new, seen, threshold=0.1).collect()[0]
+
+    def shingles(t, w=3):
+        tk = t.lower().split()
+        return {" ".join(tk[i : i + w]) for i in range(len(tk) - w + 1)}
+
+    a, b = shingles(edited), shingles(base)
+    want = len(a & b) / len(a | b)
+    assert got["near_dup"] and abs(got["near_jaccard"] - want) < 1e-12
