@@ -317,3 +317,69 @@ def test_path_counts_random_graphs_match_networkx(spark, edges):
         for v, d in dist.items():
             want[(s, v)] = (d, sigma[v])
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz019", min_size=0, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_registers_match_python_on_random_keys(spark, keys):
+    """Property: the engine's (register, max rho) table equals a pure-
+    python replay of the md5 string construction on arbitrary keys —
+    duplicates, empty strings, any order."""
+    import hashlib
+
+    from knext_spark.pipeline import hll_registers
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["register"]: r["rho"]
+        for r in hll_registers(df, "k", k_hex=2).collect()
+    }
+    want = {}
+    for kk in keys:
+        h = hashlib.md5(f"hll:{kk}".encode()).hexdigest()
+        reg, suf = h[:2], h[2:14]
+        z = len(suf) - len(suf.lstrip("0"))
+        if z == 12:
+            rho = 49
+        else:
+            c = suf[z]
+            rho = 4 * z + (0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3) + 1
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=32),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_histogram_matches_python_on_random_values(spark, vals, lo, span, bins):
+    """Property: integer-div binning with edge clamping equals the
+    python replay for any values (far outside the range included),
+    any bounds, any bin count."""
+    from knext_spark.pipeline import histogram
+
+    hi = lo + span
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["bin"]: r["cnt"] for r in histogram(df, "v", lo, hi, bins).collect()}
+    want = {}
+    for v in vals:
+        b = min(max((v - lo) * bins, 0) // span, bins - 1)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
