@@ -808,6 +808,96 @@ def q_random_walks(spark, sf_dir):
     ).select("start", "walk", "step", "node")
 
 
+_N2V_W = (1, 4, 2)  # (w_return, w_common, w_far): p = 4, q = 2
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec-biased deterministic walks (graph/walks.py
+    node2vec_walks): integer ticket weights keep the biased choice a
+    pure md5 argmin — all longs/strings, hash-exact against the
+    unrolled per-step CTE oracle (one extra (prev, dst) adjacency
+    probe and a ticket unnest per step vs random_walks)."""
+    from knext_spark.graph import node2vec_walks
+
+    edges = _edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    wr, wc, wf = _N2V_W
+    return node2vec_walks(
+        edges, seeds, length=_WALK_LEN, walks_per_start=_WALKS_PER_START,
+        w_return=wr, w_common=wc, w_far=wf,
+    ).select("start", "walk", "step", "node")
+
+
+def _node2vec_sql(
+    length: int = _WALK_LEN,
+    walks: int = _WALKS_PER_START,
+    edge_sql: str = _EDGE_SQL,
+) -> str:
+    """Unrolled node2vec walk oracle mirroring graph/walks.py
+    node2vec_walks: per step, candidates classified against the
+    PREVIOUS position (return / triangle-closing via a second e0
+    probe / far), weight w tickets unnested, argmin of
+    md5(start:walk:step:dst:ticket) with (hash, dst) tie order —
+    integers and strings only."""
+    wr, wc, wf = _N2V_W
+    walk_rows = " union all ".join(f"select {r} as walk" for r in range(walks))
+    parts = [f"""
+    w0 as materialized (
+      select node as start, cast(walk as bigint) as walk,
+             cast(0 as bigint) as step, node, cast(null as bigint) as prev
+      from seeds, ({walk_rows})
+    )"""]
+    for t in range(1, length + 1):
+        p = t - 1
+        parts.append(f"""
+    c{t} as materialized (
+      select p.start, p.walk, p.node as cur, e0.dst,
+             case when p.prev is null then 1
+                  when e0.dst = p.prev then {wr}
+                  when a2.src is not null then {wc}
+                  else {wf} end as w
+      from w{p} p
+      join e0 on e0.src = p.node
+      left join e0 a2 on a2.src = p.prev and a2.dst = e0.dst
+    ),
+    w{t} as materialized (
+      select start, walk, cast({t} as bigint) as step,
+             dst as node, cur as prev
+      from (
+        select start, walk, cur, dst,
+               row_number() over (
+                 partition by start, walk
+                 order by md5(start::varchar || ':' || walk::varchar
+                              || ':{t}:' || dst::varchar
+                              || ':' || tk::varchar), dst
+               ) as rn
+        from (
+          select start, walk, cur, dst,
+                 unnest(range(1, w + 1)) as tk
+          from c{t}
+        )
+      ) where rn = 1
+    )""")
+    union = "\n      union all ".join(
+        f"select start, walk, step, node from w{t}" for t in range(length + 1)
+    )
+    return f"""
+    with e as materialized ({edge_sql}),
+    e0 as materialized (select distinct src, dst from e),
+    seeds as materialized (
+      select node from (select src as node from e union select dst from e)
+      where node % 100 = 0
+    ),
+    {",".join(parts)}
+    {union}
+    """
+
+
 def q_clustering_coef(spark, sf_dir):
     """nx.clustering parity (graph/linkpred.py); micros so the double
     division hashes identically cross-engine (both sides compute the
@@ -1553,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "path_counts": q_path_counts,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "clustering_coef": q_clustering_coef,
         "neighbor_jaccard": q_neighbor_jaccard,
         "link_features": q_link_features,
@@ -2929,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "path_counts": _path_counts_sql(),
         "random_walks": _random_walks_sql(_WALK_LEN, _WALKS_PER_START),
+        "node2vec_walks": _node2vec_sql(),
         "landmark_distances": f"""
             with recursive e as (
               select distinct src, dst from ({_EDGE_SQL})

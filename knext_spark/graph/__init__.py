@@ -44,7 +44,7 @@ from knext_spark.graph.modularity import (  # noqa: F401
     community_contributions,
     modularity,
 )
-from knext_spark.graph.walks import random_walks  # noqa: F401
+from knext_spark.graph.walks import node2vec_walks, random_walks  # noqa: F401
 from knext_spark.graph.bfs import (  # noqa: F401
     bfs_distances,
     bfs_distances_run,

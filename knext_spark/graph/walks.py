@@ -83,3 +83,119 @@ def random_walks(
         out = out.unionByName(nxt)
         cur = nxt
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 10,
+    walks_per_start: int = 1,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """node2vec-biased deterministic walks (Grover & Leskovec 2016):
+    the next hop is weighted by where the candidate sits relative to
+    the PREVIOUS position — ``w_return`` for going back to it,
+    ``w_common`` for its out-neighbors (triangle-closing moves),
+    ``w_far`` for everything else; node2vec's (p, q) map to
+    (w_common / w_return, w_common / w_far). Step 1 is uniform
+    (no previous node), matching the reference algorithm.
+
+    Weights are INTEGERS so the choice stays hash-exact without libm:
+    a candidate with weight w draws w md5 tickets
+    (``md5(start:walk:step:dst:ticket)``) and the globally smallest
+    ticket wins — P(x wins) = w_x / sum(w), the exact biased choice,
+    reproduced bit-identically by the DuckDB oracle and any
+    partitioning (ticket hashes are iid uniform; min-of-w beats
+    min-of-v with probability w/(w+v)).
+
+    Shape per step: the frontier join of :func:`random_walks` plus ONE
+    extra hash join probing (prev, dst) against the edge set for the
+    triangle class, and a ticket explode bounded by max(w) — still
+    O(length * walks * avg_degree * max_w), shuffle-bounded like a BFS
+    round. Returns (start, walk, step, node) like random_walks.
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if walks_per_start <= 0:
+        raise ValueError("walks_per_start must be positive")
+    for name, w in (("w_return", w_return), ("w_common", w_common), ("w_far", w_far)):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(f"{name} must be a positive int, got {w!r}")
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # the (prev, dst) probe set for the triangle class
+    e2 = e.select(
+        F.col("src").alias("__p"), F.col("dst").alias("__d"), F.lit(1).alias("__adj")
+    )
+    cur = (
+        starts.select(F.col("node"))
+        .dropDuplicates(["node"])
+        .select(
+            F.col("node").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_start - 1))
+            ).alias("walk"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("node"),
+            F.lit(None).cast(edges.schema["src"].dataType).alias("prev"),
+        )
+        .withColumn("walk", F.col("walk").cast("long"))
+    )
+    out = cur.select("start", "walk", "step", "node")
+    for t in range(1, length + 1):
+        cand = cur.join(e, cur["node"] == e["src"]).select(
+            "start", "walk", "prev", F.col("dst")
+        )
+        cand = cand.join(
+            e2,
+            (cand["prev"] == e2["__p"]) & (cand["dst"] == e2["__d"]),
+            "left",
+        ).select(
+            "start",
+            "walk",
+            "dst",
+            F.when(F.col("prev").isNull(), F.lit(1))  # step 1: uniform
+            .when(F.col("dst") == F.col("prev"), F.lit(int(w_return)))
+            .when(F.col("__adj").isNotNull(), F.lit(int(w_common)))
+            .otherwise(F.lit(int(w_far)))
+            .alias("__w"),
+            F.col("prev"),
+        )
+        tickets = cand.select(
+            "start",
+            "walk",
+            "dst",
+            F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__tk"),
+        )
+        score = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("start").cast("string"),
+                F.col("walk").cast("string"),
+                F.lit(str(t)),
+                F.col("dst").cast("string"),
+                F.col("__tk").cast("string"),
+            )
+        )
+        nxt = (
+            tickets.groupBy("start", "walk")
+            .agg(F.min(F.struct(score.alias("s"), F.col("dst"))).alias("m"))
+            .select(
+                "start",
+                "walk",
+                F.lit(t).cast("long").alias("step"),
+                F.col("m.dst").alias("node"),
+            )
+        )
+        # carry the new prev = this step's position's predecessor,
+        # i.e. the frontier's current node
+        prev_map = cur.select("start", "walk", F.col("node").alias("__newprev"))
+        cur = nxt.join(prev_map, ["start", "walk"]).select(
+            "start", "walk", "step", "node", F.col("__newprev").alias("prev")
+        )
+        if t % max(1, checkpoint_every) == 0:
+            cur = cur.localCheckpoint(eager=False)
+        out = out.unionByName(cur.select("start", "walk", "step", "node"))
+    return out

@@ -242,3 +242,41 @@ def test_random_walks_oracle_second_graph(spark, ddb):
     )
     assert got_cols == want_cols
     assert got == want
+
+
+def test_node2vec_oracle_second_graph(spark, ddb):
+    """Unrolled node2vec-ticket oracle at a second graph shape
+    (mod=797): different adjacency exercises all three weight classes
+    under different tie patterns."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import node2vec_walks
+
+    edges = entrymod._edge_table(spark, SF_DIR, mod=797)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    wr, wc, wf = entrymod._N2V_W
+    df = node2vec_walks(
+        edges,
+        seeds,
+        length=entrymod._WALK_LEN,
+        walks_per_start=entrymod._WALKS_PER_START,
+        w_return=wr,
+        w_common=wc,
+        w_far=wf,
+    ).select("start", "walk", "step", "node")
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb,
+        entrymod._node2vec_sql(
+            entrymod._WALK_LEN,
+            entrymod._WALKS_PER_START,
+            entrymod._edge_sql(797),
+        ),
+    )
+    assert got_cols == want_cols
+    assert got == want

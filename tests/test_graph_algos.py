@@ -1565,3 +1565,99 @@ def test_k_truss_resume_identical(spark, tmp_path):
     assert resumed.iterations == full.iterations
     want = sorted(map(tuple, full.state.collect()))
     assert sorted(map(tuple, resumed.state.collect())) == want
+
+
+def _n2v_replay(pairs, start_nodes, length, walks_per_start, wr, wc, wf):
+    """Pure-python replay of node2vec_walks' md5-ticket construction."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+    rows = []
+    for s in sorted(set(start_nodes)):
+        for w in range(walks_per_start):
+            cur, prev = s, None
+            rows.append((s, w, 0, cur))
+            for t in range(1, length + 1):
+                cands = adj.get(cur, ())
+                if not cands:
+                    break
+                best = None
+                for dst in cands:
+                    if prev is None:
+                        wt = 1
+                    elif dst == prev:
+                        wt = wr
+                    elif dst in adj.get(prev, ()):
+                        wt = wc
+                    else:
+                        wt = wf
+                    for tk in range(1, wt + 1):
+                        h = hashlib.md5(
+                            f"{s}:{w}:{t}:{dst}:{tk}".encode()
+                        ).hexdigest()
+                        k = (h, dst)
+                        if best is None or k < best:
+                            best = k
+                if best is None:
+                    break
+                prev, cur = cur, best[1]
+                rows.append((s, w, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    """Exact md5-ticket replay on a graph exercising every weight
+    class (return, triangle-closing, far) plus a dangling stop."""
+    from knext_spark.graph import node2vec_walks
+
+    pairs = [
+        ("p", "c"), ("c", "p"), ("c", "a"), ("c", "b"),
+        ("p", "a"), ("a", "d"), ("b", "e"),
+    ]
+    starts = spark.createDataFrame([("p",), ("b",)], "node string")
+    got = sorted(
+        map(
+            tuple,
+            node2vec_walks(
+                _edge_df(spark, pairs), starts, length=4,
+                walks_per_start=3, w_return=1, w_common=4, w_far=2,
+            ).collect(),
+        )
+    )
+    assert got == _n2v_replay(pairs, ["p", "b"], 4, 3, 1, 4, 2)
+
+
+def test_node2vec_bias_frequencies(spark):
+    """Statistical check of the ticket construction: from p -> c, the
+    step-2 choice among {p (return, w=1), a (triangle, w=4),
+    b (far, w=2)} lands near the 1:4:2 weights over many walks."""
+    from collections import Counter
+
+    from knext_spark.graph import node2vec_walks
+
+    pairs = [("p", "c"), ("c", "p"), ("c", "a"), ("c", "b"), ("p", "a")]
+    starts = spark.createDataFrame([("p",)], "node string")
+    out = node2vec_walks(
+        _edge_df(spark, pairs), starts, length=2,
+        walks_per_start=1400, w_return=1, w_common=4, w_far=2,
+    ).collect()
+    pos = {}
+    for r in out:
+        pos.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    # condition on walks whose (uniform) first step went to c — the
+    # p -> a walks die at a and exercise the dangling stop instead
+    step2 = Counter(
+        p[2] for p in pos.values() if p.get(1) == "c" and 2 in p
+    )
+    n = sum(step2.values())
+    assert n > 400
+    for node, w in (("p", 1), ("a", 4), ("b", 2)):
+        assert abs(step2[node] / n - w / 7) < 0.06, (node, step2)
+    # degenerate weights: all-equal reduces to a uniform walk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(_edge_df(spark, pairs), starts, w_return=0)
