@@ -280,3 +280,21 @@ def test_node2vec_oracle_second_graph(spark, ddb):
     )
     assert got_cols == want_cols
     assert got == want
+
+
+def test_ktruss_oracle_second_graph(spark, ddb):
+    """Unrolled truss-peeling oracle at a second graph shape
+    (mod=3001 — denser than the contract's mod=5000, so more edges
+    actually peel and the idempotent-unroll claim is exercised on a
+    different cascade)."""
+    from knext_spark.graph import k_truss
+
+    df = k_truss(entrymod._edge_table(spark, SF_DIR, mod=3001), k=4).select(
+        "a", "b", "support"
+    )
+    got, got_cols = _spark_rows(df)
+    want, want_cols = _duck_rows(
+        ddb, entrymod._ktruss_sql(4, edge=entrymod._edge_sql(3001))
+    )
+    assert got_cols == want_cols
+    assert got == want
