@@ -1181,6 +1181,100 @@ def q_token_hist_quantiles(spark, sf_dir):
     )
 
 
+# contract thresholds: the synthetic corpus is 10-99-token docs with
+# at most ONE distinct English stopword (it spreads its mass across 5
+# languages), so the Gopher production defaults would fail every row
+# identically — these keep the row DISCRIMINATIVE (both pass and fail
+# rows, several reason combinations). One dict drives both engines.
+_GOPHER_CONTRACT = {
+    "min_tokens": 30,
+    "min_distinct_stopwords": 1,
+    "max_repetition": 0.2,
+}
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-style gate (pipeline/text.py gopher_filter):
+    every rule reuses an already-oracled metric expression; reasons
+    array in fixed rule order, so the whole row (array column
+    included) hashes exactly. Oracle generated from the SAME
+    GOPHER_THRESHOLDS + _GOPHER_CONTRACT dicts."""
+    from knext_spark.pipeline import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_filter(docs, thresholds=_GOPHER_CONTRACT).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("reasons", ",").alias("reasons"),
+        "passes",
+    )
+
+
+def _gopher_sql() -> str:
+    from knext_spark.pipeline.text import GOPHER_THRESHOLDS
+
+    T = dict(GOPHER_THRESHOLDS)
+    T.update(_GOPHER_CONTRACT)
+    stop = _sql_list(_STOP)
+    dd = "cast({} as double)".format
+    return f"""
+            with q as (
+              select doc_id,
+                     len({_TOKENS}) as n_tok,
+                     length(text) as n_chars,
+                     length(text) - length(
+                       regexp_replace(text, '[^A-Za-z0-9 \t\n]', '', 'g')
+                     ) as punct,
+                     len(list_intersect({_TOKENS}, {stop})) as n_stop_distinct,
+                     case when len({_TOKENS}) > 0
+                          then list_reduce(
+                                 list_transform({_TOKENS}, t -> length(t)),
+                                 (x, y) -> x + y
+                               )::double / len({_TOKENS})
+                          else 0.0 end as mean_tok_len,
+                     case when len({_TOKENS}) >= 3
+                          then list_transform(range(1, len({_TOKENS}) - 1),
+                               i -> array_to_string(({_TOKENS})[i:i+2], ' '))
+                          else [] end as wins
+              from documents
+            ),
+            s as (
+              select doc_id, n_tok, n_stop_distinct, mean_tok_len,
+                     case when n_chars > 0 then punct / n_chars
+                          else 0.0 end as punct_ratio,
+                     case when len(wins) > 0
+                          then 1.0 - len(list_distinct(wins))::double
+                                     / len(wins)::double
+                          else 0.0 end as repetition
+              from q
+            ),
+            r as (
+              select doc_id, n_tok,
+                     list_filter([
+                       case when n_tok < {int(T["min_tokens"])}
+                            then 'too_short' end,
+                       case when n_tok > {int(T["max_tokens"])}
+                            then 'too_long' end,
+                       case when mean_tok_len < {dd(repr(T["min_mean_token_len"]))}
+                              or mean_tok_len > {dd(repr(T["max_mean_token_len"]))}
+                            then 'token_len' end,
+                       case when punct_ratio > {dd(repr(T["max_punct_ratio"]))}
+                            then 'punct' end,
+                       case when n_stop_distinct < {int(T["min_distinct_stopwords"])}
+                            then 'stopwords' end,
+                       case when repetition > {dd(repr(T["max_repetition"]))}
+                            then 'repetitive' end
+                     ], x -> x is not null) as reasons
+              from s
+            )
+            select doc_id,
+                   cast(n_tok as bigint) as n_tokens,
+                   coalesce(array_to_string(reasons, ','), '') as reasons,
+                   len(reasons) = 0 as passes
+            from r
+        """
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc duplicate-n-gram fraction (pipeline/text.py
     repetition_ratio — Gopher-style boilerplate detector): counts are
@@ -1655,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_distinct,
         "lm_score": q_lm_score,
         "token_hist_quantiles": q_token_hist_quantiles,
+        "gopher_filter": q_gopher_filter,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -3376,6 +3471,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(rnk as int) as "rank"
             from s where rnk <= 3
         """,
+        "gopher_filter": _gopher_sql(),
         "repetition": f"""
             with t as (
               select doc_id, {_TOKENS} as toks from documents

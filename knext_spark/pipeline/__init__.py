@@ -22,6 +22,7 @@ Design rules:
 from knext_spark.pipeline.text import (  # noqa: F401
     corpus_profile,
     doc_fingerprint,
+    gopher_filter,
     lang_id,
     quality_score,
     repetition_ratio,

@@ -170,6 +170,24 @@ def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _repetition_counts(text_col: str = "text", w: int = 3):
+    """(total, distinct) w-shingle OCCURRENCE counts — shared by
+    :func:`repetition_ratio` and :func:`gopher_filter`."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # greatest(.., 1): sequence(1, 0) would run DESCENDING into an
+    # invalid slice(.., 0) — the when() below discards the clamped row
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    total = F.when(n >= w, F.size(windows)).otherwise(F.lit(0))
+    distinct = F.when(n >= w, F.size(F.array_distinct(windows))).otherwise(
+        F.lit(0)
+    )
+    return total, distinct
+
+
 def repetition_ratio(
     df: DataFrame, text_col: str = "text", w: int = 3
 ) -> DataFrame:
@@ -186,18 +204,7 @@ def repetition_ratio(
     the ratio one two-integer division, so the DuckDB oracle
     reproduces values bit-for-bit.
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    # greatest(.., 1): sequence(1, 0) would run DESCENDING into an
-    # invalid slice(.., 0) — the when() below discards the clamped row
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, w), " "),
-    )
-    total = F.when(n >= w, F.size(windows)).otherwise(F.lit(0))
-    distinct = F.when(n >= w, F.size(F.array_distinct(windows))).otherwise(
-        F.lit(0)
-    )
+    total, distinct = _repetition_counts(text_col, w)
     return df.select(
         "doc_id",
         total.cast("long").alias("total_ngrams"),
@@ -317,4 +324,79 @@ def tfidf_topk(
             F.col("tfidf_raw").alias("tfidf"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+GOPHER_THRESHOLDS = {
+    "min_tokens": 50,
+    "max_tokens": 100000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_punct_ratio": 0.3,
+    "min_distinct_stopwords": 2,
+    "max_repetition": 0.3,
+}
+"""Default Gopher-style rule thresholds (Rae et al. 2021, §A1.1
+adapted to this engine's features). Single source of truth: the
+engine expressions AND the DuckDB oracle generator both read these,
+so a threshold change cannot desynchronize the gate."""
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Composite Gopher-style document gate — the standard pre-training
+    quality filter bundle, flag-don't-drop: (doc_id, n_tokens,
+    reasons, passes) where ``reasons`` lists every failed rule in
+    fixed rule order (empty array = clean) and ``passes`` is
+    ``reasons == []``. Rules, each reusing the already-oracled metric
+    expressions (quality features + duplicate-w-gram fraction):
+
+    - ``too_short`` / ``too_long``: token count outside
+      [min_tokens, max_tokens];
+    - ``token_len``: mean token length outside
+      [min_mean_token_len, max_mean_token_len] (gibberish/code);
+    - ``punct``: punctuation ratio above max_punct_ratio;
+    - ``stopwords``: fewer than min_distinct_stopwords distinct
+      English stopwords (the natural-language floor);
+    - ``repetitive``: duplicate w-gram fraction above max_repetition.
+
+    Pure Catalyst projection — zero shuffle, zero UDF; at 100 TB this
+    rides the ingest scan for free and downstream stages filter on
+    ``passes`` (predicate pushdown keeps dropped docs unread).
+    """
+    t = dict(GOPHER_THRESHOLDS)
+    t.update(thresholds or {})
+    e = _quality_exprs(text_col)
+    total, distinct = _repetition_counts(text_col, w)
+    repetition = F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    rules = [
+        ("too_short", e["n_tokens"] < F.lit(int(t["min_tokens"]))),
+        ("too_long", e["n_tokens"] > F.lit(int(t["max_tokens"]))),
+        (
+            "token_len",
+            (e["mean_token_len"] < F.lit(float(t["min_mean_token_len"])))
+            | (e["mean_token_len"] > F.lit(float(t["max_mean_token_len"]))),
+        ),
+        ("punct", e["punct_ratio"] > F.lit(float(t["max_punct_ratio"]))),
+        (
+            "stopwords",
+            e["distinct_stopwords"] < F.lit(int(t["min_distinct_stopwords"])),
+        ),
+        ("repetitive", repetition > F.lit(float(t["max_repetition"]))),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        "doc_id",
+        e["n_tokens"].cast("long").alias("n_tokens"),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("passes"),
     )

@@ -1383,3 +1383,48 @@ def test_dedup_against_python_jaccard_replay(spark):
     a, b = shingles(edited), shingles(base)
     want = len(a & b) / len(a | b)
     assert got["near_dup"] and abs(got["near_jaccard"] - want) < 1e-12
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule fires on a purpose-built doc, reasons come in fixed
+    rule order, and a clean doc passes with an empty array."""
+    from knext_spark.pipeline import gopher_filter
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and it was a fine "
+        "day for running in the field with many other animals that were "
+        "also enjoying the sunshine near the old farm house by the river "
+        "bank where children played games during the long summer afternoon "
+        "while parents watched from wooden chairs under the shade trees"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "hi there friend"),  # too_short
+            (3, " ".join(["pneumonoultramicroscopicsilicovolcanoconiosis"] * 60)),
+            (4, clean + " " + "!?!%$#@^&*()" * 40),  # punct
+            (5, " ".join(f"zz{i}" for i in range(80))),  # no stopwords
+            (6, "the cat sat on a mat " + " ".join(["again and again and"] * 20)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert got[1]["passes"] and got[1]["reasons"] == []
+    # 3 tokens, and also below the 2-distinct-stopword floor
+    assert got[2]["reasons"] == ["too_short", "stopwords"]
+    # doc 3: giant identical tokens — token_len AND stopwords AND repetitive
+    assert "token_len" in got[3]["reasons"]
+    assert "stopwords" in got[3]["reasons"]
+    assert not got[3]["passes"]
+    assert "punct" in got[4]["reasons"]
+    assert got[5]["reasons"] == ["stopwords"]
+    assert "repetitive" in got[6]["reasons"]
+    # reasons preserve fixed rule order
+    order = ["too_short", "too_long", "token_len", "punct", "stopwords", "repetitive"]
+    for r in got.values():
+        idx = [order.index(x) for x in r["reasons"]]
+        assert idx == sorted(idx)
+    # custom threshold override: make doc 1 "too_long"
+    strict = gopher_filter(docs, thresholds={"max_tokens": 10}).collect()
+    strict = {r["doc_id"]: r for r in strict}
+    assert "too_long" in strict[1]["reasons"]
