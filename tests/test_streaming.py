@@ -191,3 +191,55 @@ def test_projection_ops_stream_equals_batch(spark, tmp_path):
     }
     want2 = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     assert got2 == want2
+
+
+def test_new_projection_ops_stream_equals_batch(spark, tmp_path):
+    """gopher_filter and weighted_sample are also pure projections —
+    streamed over the same bytes they must equal the batch run
+    row-for-row (the filter gates an ingest stream; the sampler
+    down-weights it)."""
+    from knext_spark.pipeline import gopher_filter, weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(str(tmp_path / "docs_src"))
+    stream = spark.readStream.schema(docs.schema).parquet(
+        str(tmp_path / "docs_src")
+    )
+
+    th = {"min_tokens": 30, "min_distinct_stopwords": 1}
+    q = (
+        gopher_filter(stream, thresholds=th)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (tuple(r["reasons"]), r["passes"])
+        for r in spark.sql("select * from gopher_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (tuple(r["reasons"]), r["passes"])
+        for r in gopher_filter(docs, thresholds=th).collect()
+    }
+    assert got == want and len(got) == 500
+
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.75, "zh": 0.1}
+    q2 = (
+        weighted_sample(stream, rates, "lang", "doc_id")
+        .writeStream.format("memory")
+        .queryName("ws_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.sql("select * from ws_stream").collect()}
+    want2 = {
+        r["doc_id"] for r in weighted_sample(docs, rates, "lang", "doc_id").collect()
+    }
+    assert got2 == want2 and 0 < len(got2) < 500
