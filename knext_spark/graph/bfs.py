@@ -108,14 +108,23 @@ def bfs_distances(
     sources: DataFrame,
     direction: str = "out",
     max_iter: int = 100,
+    cadence: int = 1,
 ) -> DataFrame:
     """(node, dist) for EVERY node of the graph (and every seed):
     minimum hop count from the nearest source, NULL if unreached
     within ``max_iter`` hops. Convenience wrapper over
-    :func:`bfs_distances_run` (ephemeral checkpoint dir)."""
+    :func:`bfs_distances_run` (ephemeral checkpoint dir).
+    ``cadence`` > 1 commits every k-th round only. MEASURED WORSE for
+    BFS (left default 1): the step's convergence count acts on the
+    un-materialized union chain, so every non-commit round re-executes
+    the prior rounds' frontier joins — a 1.91M-edge pseudo-diameter
+    run that finishes in ~60 s at cadence 1 was killed at 10 min at
+    cadence 4 (BENCH.md §13). The knob stays for API parity with the
+    other superstep algorithms, whose states don't chain this way."""
     spark = edges.sparkSession
     res = bfs_distances_run(
-        spark, edges, sources, direction=direction, max_iter=max_iter
+        spark, edges, sources, direction=direction, max_iter=max_iter,
+        cadence=cadence,
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -138,6 +147,7 @@ def pseudo_diameter(
     direction: str = "both",
     start: int | None = None,
     max_iter: int = 100,
+    cadence: int = 1,
 ) -> DataFrame:
     """Double-sweep pseudo-diameter (Magnien-Latapy-Habib): BFS from a
     deterministic start (min node id unless given), jump to the
@@ -172,7 +182,10 @@ def pseudo_diameter(
     src = start
     for s in range(1, sweeps + 1):
         seeds = nodes.where(F.col("node") == F.lit(src))
-        dist = bfs_distances(edges, seeds, direction=direction, max_iter=max_iter)
+        dist = bfs_distances(
+            edges, seeds, direction=direction, max_iter=max_iter,
+            cadence=cadence,
+        )
         far = (
             dist.where(F.col("dist").isNotNull())
             .orderBy(F.desc("dist"), F.asc("node"))
