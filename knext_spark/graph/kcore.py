@@ -118,12 +118,18 @@ def k_core(
     edges: DataFrame,
     k: int = 2,
     max_iter: int = 1000,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, core_deg) for every node of the k-core; ``core_deg`` is
     the node's degree WITHIN the core (>= k by construction).
     Convenience wrapper over ``k_core_run`` (ephemeral checkpoint dir;
-    ``checkpoint_every`` maps to the runner's commit cadence)."""
+    ``checkpoint_every`` maps to the runner's commit cadence).
+
+    Default cadence is 1 — MEASURED: at cadence 4 the step's
+    convergence count acts on the un-materialized anti-join chain, so
+    every non-commit round re-executes prior rounds' peels (26.6 s vs
+    8.8 s at cadence 1 on a 13-round path-graph peel; the same
+    recompute pattern measured 10x on BFS, BENCH.md §13 addendum)."""
     return k_core_run(
         edges.sparkSession,
         edges,
