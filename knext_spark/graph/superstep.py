@@ -51,6 +51,19 @@ from real file sizes, so cadence=1 is always safe. Per algorithm:
   bench's cadence=10 over ≤7 rounds reaches ~10^5-digit BigInts,
   measured fine but near the useful ceiling);
 - k_core (state ⋈ degrees(state) twice): like cc; default cadence=1.
+
+CADENCE > 1 HAZARD #2 — lazy-chain recompute (round 5, measured). The
+contract note in run() says step() must have materialized new_state on
+non-commit rounds (lazy localCheckpoint + its own action). Steps whose
+per-round action touches only a SIDE frame — BFS counts the new
+frontier, k-core/k-truss count the peel set — leave the chained state
+itself un-materialized, so every later round re-executes ALL prior
+rounds' joins through the chain: measured 3x slower at cadence 4 for a
+13-round k-core peel (26.6 s vs 8.8 s) and a >10x blowup for a
+~32-round BFS (killed at 10 min vs 60 s). pagerank/hits/cc/lpa are
+immune (their convergence collect acts on the new state). BFS, k-core
+and k-truss therefore default (or pin) cadence=1; raise it only with a
+step that checkpoints-and-acts on the state itself.
 """
 
 from __future__ import annotations
