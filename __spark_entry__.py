@@ -1193,6 +1193,14 @@ _GOPHER_CONTRACT = {
 }
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Global token-frequency vocabulary (pipeline/text.py
+    vocab_topk): tf/df integers, (tf desc, token) rank — hash-exact."""
+    from knext_spark.pipeline import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=200)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Composite Gopher-style gate (pipeline/text.py gopher_filter):
     every rule reuses an already-oracled metric expression; reasons
@@ -1750,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "token_hist_quantiles": q_token_hist_quantiles,
         "gopher_filter": q_gopher_filter,
+        "vocab_topk": q_vocab_topk,
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -3472,6 +3481,22 @@ def oracle_sql() -> dict[str, str]:
             from s where rnk <= 3
         """,
         "gopher_filter": _gopher_sql(),
+        "vocab_topk": f"""
+            with tok as (
+              select doc_id, unnest({_TOKENS}) as token from documents
+            ),
+            agg as (
+              select token,
+                     cast(count(*) as bigint) as tf,
+                     cast(count(distinct doc_id) as bigint) as df
+              from tok group by token
+            )
+            select token, tf, df, cast(rank as int) as rank from (
+              select token, tf, df,
+                     row_number() over (order by tf desc, token asc) as rank
+              from agg
+            ) where rank <= 200
+        """,
         "repetition": f"""
             with t as (
               select doc_id, {_TOKENS} as toks from documents

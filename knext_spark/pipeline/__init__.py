@@ -29,6 +29,7 @@ from knext_spark.pipeline.text import (  # noqa: F401
     scrub_pii,
     tfidf_topk,
     token_count,
+    vocab_topk,
     tokens_col,
 )
 from knext_spark.pipeline.contamination import contamination  # noqa: F401

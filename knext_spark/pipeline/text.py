@@ -400,3 +400,33 @@ def gopher_filter(
         reasons.alias("reasons"),
         (F.size(reasons) == 0).alias("passes"),
     )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Global token-frequency vocabulary: the k most frequent tokens
+    with term frequency, document frequency and a deterministic rank
+    (tf desc, then token — reproducible vocab files for tokenizer
+    seeding / frequency-based filtering). One explode + one map-side-
+    combinable groupBy(token); the final top-k orders the VOCABULARY
+    (bounded by distinct tokens, not corpus size), so the single-
+    partition window is over the small aggregate, never the corpus.
+    All-integer outputs — hash-exact against the DuckDB oracle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("token", "tf", "df", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1428,3 +1428,33 @@ def test_gopher_filter_rules(spark):
     strict = gopher_filter(docs, thresholds={"max_tokens": 10}).collect()
     strict = {r["doc_id"]: r for r in strict}
     assert "too_long" in strict[1]["reasons"]
+
+
+def test_vocab_topk_semantics(spark):
+    """Hand corpus: exact tf/df, deterministic (tf desc, token) rank,
+    ties broken lexicographically, k truncation."""
+    from collections import Counter
+
+    from knext_spark.pipeline import vocab_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry banana"),
+            (3, "apple date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in vocab_topk(docs, k=3).collect()]
+    # tf: apple 3, banana 3, cherry 2, date 1; df: apple 2, banana 2,
+    # cherry 2, date 1; apple < banana at the tf tie
+    assert got == [
+        ("apple", 3, 2, 1),
+        ("banana", 3, 2, 2),
+        ("cherry", 2, 2, 3),
+    ]
+    assert vocab_topk(docs, k=100).count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_topk(docs, k=0)
