@@ -211,9 +211,18 @@ def cmd_graph(args):
     elif args.verb == "diameter":
         from knext_spark.graph import pseudo_diameter
 
+        # --sources: parquet of (node) rows; the min node seeds the
+        # sweep (use it to target a specific component)
+        start = None
+        if getattr(args, "sources", None):
+            start = (
+                spark.read.parquet(args.sources)
+                .agg(F.min("node"))
+                .collect()[0][0]
+            )
         pseudo_diameter(
             edges, sweeps=args.sweeps, direction=args.direction,
-            max_iter=args.max_iter,
+            max_iter=args.max_iter, start=start,
         ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
         return

@@ -177,6 +177,10 @@ def pseudo_diameter(
         start = nodes.agg(F.min("node")).collect()[0][0]
         if start is None:
             raise ValueError("pseudo_diameter of an empty edge table")
+    elif nodes.where(F.col("node") == F.lit(start)).limit(1).count() == 0:
+        # the docstring invites hand-supplied component seeds; a typo'd
+        # id would otherwise surface as a bare IndexError on sweep 1
+        raise ValueError(f"start node {start!r} is not a node of the graph")
     node_type = edges.schema["src"].dataType
     rows = []
     src = start

@@ -163,7 +163,19 @@ def k_truss_run(
         return m.get("peeled", 1) == 0
 
     runner = SuperstepRunner(spark, "ktruss", run_id, checkpoint_dir, cadence=1)
-    return runner.run(init_state, step, converged, max_iter, resume=resume)
+    res = runner.run(init_state, step, converged, max_iter, resume=resume)
+    if not res.converged:
+        # a max_iter-truncated run's last commit carries supports
+        # computed over the PREVIOUS edge set (the working state, fine
+        # for resume); refresh them so the returned frame always honors
+        # the "support counted WITHIN the surviving set" contract
+        return SuperstepResult(
+            _edge_support(res.state.select("a", "b")),
+            res.iterations,
+            res.converged,
+            res.metrics,
+        )
+    return res
 
 
 def k_truss(

@@ -146,7 +146,7 @@ def node2vec_walks(
     out = cur.select("start", "walk", "step", "node")
     for t in range(1, length + 1):
         cand = cur.join(e, cur["node"] == e["src"]).select(
-            "start", "walk", "prev", F.col("dst")
+            "start", "walk", F.col("node").alias("cur"), "prev", F.col("dst")
         )
         cand = cand.join(
             e2,
@@ -155,17 +155,18 @@ def node2vec_walks(
         ).select(
             "start",
             "walk",
+            "cur",
             "dst",
             F.when(F.col("prev").isNull(), F.lit(1))  # step 1: uniform
             .when(F.col("dst") == F.col("prev"), F.lit(int(w_return)))
             .when(F.col("__adj").isNotNull(), F.lit(int(w_common)))
             .otherwise(F.lit(int(w_far)))
             .alias("__w"),
-            F.col("prev"),
         )
         tickets = cand.select(
             "start",
             "walk",
+            F.col("cur"),
             "dst",
             F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__tk"),
         )
@@ -179,21 +180,19 @@ def node2vec_walks(
                 F.col("__tk").cast("string"),
             )
         )
-        nxt = (
-            tickets.groupBy("start", "walk")
+        # `cur` rides the groupBy keys — (start, walk) determine it, so
+        # the groups are unchanged and the new prev comes out of the
+        # same aggregation instead of an extra frontier join per step
+        cur = (
+            tickets.groupBy("start", "walk", "cur")
             .agg(F.min(F.struct(score.alias("s"), F.col("dst"))).alias("m"))
             .select(
                 "start",
                 "walk",
                 F.lit(t).cast("long").alias("step"),
                 F.col("m.dst").alias("node"),
+                F.col("cur").alias("prev"),
             )
-        )
-        # carry the new prev = this step's position's predecessor,
-        # i.e. the frontier's current node
-        prev_map = cur.select("start", "walk", F.col("node").alias("__newprev"))
-        cur = nxt.join(prev_map, ["start", "walk"]).select(
-            "start", "walk", "step", "node", F.col("__newprev").alias("prev")
         )
         if t % max(1, checkpoint_every) == 0:
             cur = cur.localCheckpoint(eager=False)

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _bigrams(text_col: str) -> Column:
     """Array of character bigrams of lower(text_col); empty for texts
     shorter than 2 chars (sequence(1, 0) is empty)."""
-    t = f"lower({text_col})"
+    t = f"lower(`{text_col}`)"
     # explicit short-text guard: Spark's sequence(1, 0) DESCENDS
     # ([1, 0]) rather than being empty like DuckDB's range(1, 1)
     return F.expr(

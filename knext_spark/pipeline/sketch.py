@@ -85,6 +85,9 @@ def hll_registers(
     accounting free."""
     if not 1 <= k_hex <= 8:
         raise ValueError(f"k_hex must be in [1, 8], got {k_hex}")
+    # count(distinct) semantics: NULL keys are ignored (hashing NULL
+    # would otherwise poison the whole group's ordered fold to NULL)
+    df = df.where(F.col(key_col).isNotNull())
     hx = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
     reg = F.substring(hx, 1, k_hex)
     rho = _rho_from_suffix(F.substring(hx, k_hex + 1, _RHO_HEX))
@@ -128,6 +131,15 @@ def hll_estimate(
     """
     m = 16**k_hex
     alpha = _alpha(m)
+    # loud guard against a register table built at a different k_hex
+    # (v_zero would silently go negative): assert_true returns NULL on
+    # pass, throws on the first mismatched row
+    registers = registers.where(
+        F.assert_true(
+            F.length("register") == k_hex,
+            F.lit(f"register width != k_hex={k_hex} — table built with a different k_hex"),
+        ).isNull()
+    )
     # 2^-rho per register BEFORE the fold: an exact power-of-two double
     # (integer shift + one exact division, no libm).
     inv = F.expr(
@@ -198,6 +210,9 @@ def histogram(
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    # count semantics: NULL values are ignored (a NULL bin row would
+    # corrupt the quantile window, which sorts NULL first)
+    df = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("long")
     # clamp the numerator at 0 BEFORE the integer division so the
     # floor semantics of negative division never matter
@@ -238,6 +253,8 @@ def histogram_quantiles(
     libm anywhere."""
     from pyspark.sql import Window
 
+    if not qs:
+        raise ValueError("qs must be a non-empty list of quantiles")
     width = (hi - lo) / bins  # python IEEE division, repr-shared
     w = Window.partitionBy(*group_cols).orderBy("bin")
     wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(

@@ -1661,3 +1661,38 @@ def test_node2vec_bias_frequencies(spark):
 
     with _pytest.raises(ValueError):
         node2vec_walks(_edge_df(spark, pairs), starts, w_return=0)
+
+
+def test_k_truss_truncated_run_refreshes_supports(spark, tmp_path):
+    """A max_iter-truncated run must still report supports counted
+    within the SURVIVING edge set, not the pre-peel one."""
+    import itertools
+
+    from knext_spark.graph import k_truss_run
+
+    k4 = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    pairs = k4 + [("a1", "t1"), ("a2", "t1"), ("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    res = k_truss_run(spark, df, k=4, checkpoint_dir=str(tmp_path), max_iter=1)
+    assert not res.converged
+    got = {(r["a"], r["b"]): r["support"] for r in res.state.collect()}
+    # python recount on the surviving set
+    adj = {}
+    for a, b in got:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for (a, b), s in got.items():
+        assert s == len(adj[a] & adj[b]), (a, b, s)
+
+
+def test_pseudo_diameter_rejects_unknown_start(spark):
+    import pytest as _pytest
+
+    from knext_spark.graph import pseudo_diameter
+
+    df = _edge_df(spark, [("a", "b"), ("b", "c")])
+    with _pytest.raises(ValueError, match="not a node"):
+        pseudo_diameter(df, start="zz")
+    # a valid hand-picked start still works
+    rows = pseudo_diameter(df, start="c").collect()
+    assert rows[0]["source"] == "c" and rows[0]["ecc"] == 2

@@ -1458,3 +1458,35 @@ def test_vocab_topk_semantics(spark):
 
     with _pytest.raises(ValueError):
         vocab_topk(docs, k=0)
+
+
+def test_sketch_null_handling(spark):
+    """NULL keys/values are ignored with count(distinct)/count
+    semantics instead of poisoning the fold or the quantile window."""
+    from knext_spark.pipeline import (
+        histogram,
+        histogram_quantiles,
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", "g"), (None, "g"), ("k2", "g")], "k string, g string"
+    )
+    row = hll_distinct(df, "k", ["g"]).collect()[0]
+    assert row["estimate"] is not None and abs(row["estimate"] - 2) < 0.5
+    hv = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+    h = histogram(hv, "v", 0, 10, 5)
+    assert sum(r["cnt"] for r in h.collect()) == 2
+    q = histogram_quantiles(h, [0.5], 0, 10, 5).collect()
+    assert q[0]["n"] == 2 and q[0]["estimate"] is not None
+    # mismatched k_hex fails loudly instead of a negative v_zero
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    regs = hll_registers(df, "k", k_hex=3)
+    with _pytest.raises(Exception):
+        hll_estimate(regs, k_hex=2).collect()
+    with _pytest.raises(ValueError):
+        histogram_quantiles(h, [], 0, 10, 5)
