@@ -1803,9 +1803,14 @@ def run_r5ops(sf_dir: str, levels=(2, 8)) -> dict:
                 / (hi / lo),
                 4,
             )
+    headline = (
+        pairs[f"hll_distinct:{levels[0]}->{levels[1]}"]
+        if len(levels) >= 2
+        else None
+    )
     return {
         "metric": "r5ops_scaling_efficiency",
-        "value": pairs[f"hll_distinct:{levels[0]}->{levels[1]}"],
+        "value": headline,
         "unit": "ratio",
         "efficiency_pairs": pairs,
         "levels": out,
