@@ -1181,6 +1181,30 @@ def q_token_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch point estimates (pipeline/sketch.py cms_table /
+    cms_lookup): build a depth=4 x 16-bucket sketch over every token
+    of the corpus, then estimate the frequency of the distinct tokens
+    of the doc_id % 97 == 0 slice (the contamination row's stand-in
+    query set). w_hex=1 ON PURPOSE: the synthetic corpus has ~31
+    distinct tokens, so 16 buckets force real collisions and the row
+    exercises the min-over-rows estimate, not just a 1:1 passthrough
+    (production callers size w_hex to the key cardinality). Estimates
+    never undercount; every output is an integer min of integer bucket
+    counts — hash-exact against a full DuckDB recomputation of the
+    same md5 dag."""
+    from knext_spark.pipeline import cms_lookup, cms_table
+    from knext_spark.pipeline.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    sketch = cms_table(toks, "token", depth=4, w_hex=1)
+    qs = docs.where("doc_id % 97 = 0").select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return cms_lookup(sketch, qs, "token", depth=4, w_hex=1)
+
+
 # contract thresholds: the synthetic corpus is 10-99-token docs with
 # at most ONE distinct English stopword (it spreads its mass across 5
 # languages), so the Gopher production defaults would fail every row
@@ -1473,6 +1497,49 @@ def q_k_core(spark, sf_dir):
     from knext_spark.graph import k_core
 
     return k_core(_edge_table(spark, sf_dir), k=3)
+
+
+def _layer_edges(spark, sf_dir):
+    """Deterministic LAYERED digraph from lineitem for the topological
+    operator: 12 layers x 250 slots, forward edges layer k -> k+1, plus
+    back edges (adjacent-layer reversals on the rows where
+    (l_orderkey + l_partkey) % 41 = 0, CONFINED to layers >= 9) that
+    create cycles whose downstream sets must flag -1. Layering bounds
+    the Kahn depth at 12 by construction — deep enough to exercise the
+    iteration, shallow enough that the unrolled oracle (and the
+    per-level Spark rounds) stay cheap at any SF; confining the back
+    edges to the top layers keeps levels 0-8 populated at ANY density
+    (unconfined back edges poison every layer once the graph is dense,
+    collapsing the row to levels {-1, 0})."""
+    li = _read(spark, sf_dir, "lineitem")
+    layer = F.col("l_orderkey") % 12
+    slot = F.col("l_partkey") % 250
+    slot2 = F.col("l_suppkey") % 250
+    fwd = li.where(layer < 11).select(
+        (layer * 250 + slot).alias("src"),
+        ((layer + 1) * 250 + slot2).alias("dst"),
+    )
+    back = li.where(
+        (layer >= 9)
+        & (layer < 11)
+        & ((F.col("l_orderkey") + F.col("l_partkey")) % 41 == 0)
+    ).select(
+        ((layer + 1) * 250 + slot2).alias("src"),
+        (layer * 250 + slot).alias("dst"),
+    )
+    return fwd.unionByName(back).distinct()
+
+
+def q_topo_levels(spark, sf_dir):
+    """Topological levels + cycle detection by Kahn peeling
+    (graph/toposort.py topological_levels) over the layered lineitem
+    digraph: level = longest-path depth from any source, -1 = on or
+    downstream of a directed cycle. Exact integers. Oracle: unrolled
+    materialized-CTE peeling rounds, idempotent at the fixpoint
+    (_toposort_sql), same failure direction as k_core's."""
+    from knext_spark.graph import topological_levels
+
+    return topological_levels(_layer_edges(spark, sf_dir))
 
 
 def q_k_truss(spark, sf_dir):
@@ -1778,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
+        "topo_levels": q_topo_levels,
+        "cms_token_counts": q_cms_token_counts,
     }
 
 
@@ -2338,6 +2407,93 @@ def _kcore_sql(k: int = 3, rounds: int = 24, edge: str | None = None) -> str:
         from {prev} group by src
     """)
     return "".join(parts)
+
+
+def _toposort_sql(rounds: int = 16) -> str:
+    """Unrolled Kahn peeling over the layered lineitem digraph
+    (_layer_edges twin). Each round levels the remaining nodes with no
+    remaining incoming edge; peeling is idempotent at the fixpoint and
+    the layering bounds the depth at 12, so 16 rounds are generous —
+    a deeper graph fails the gate loudly rather than passing wrongly
+    (the k-core oracle's failure direction). CTEs are MATERIALIZED for
+    the same re-expansion reason as _kcore_sql's."""
+    parts = [
+        """
+        with li as materialized (
+          select l_orderkey % 12 as layer, l_partkey % 250 as slot,
+                 l_suppkey % 250 as slot2,
+                 (l_orderkey + l_partkey) % 41 = 0 as back
+          from lineitem where l_orderkey % 12 < 11
+        ),
+        re0 as materialized (
+          select distinct src, dst from (
+            select layer*250 + slot as src, (layer+1)*250 + slot2 as dst from li
+            union all
+            select (layer+1)*250 + slot2 as src, layer*250 + slot as dst
+            from li where back and layer >= 9
+          )
+        ),
+        rn0 as materialized (
+          select distinct a from (
+            select src as a from re0 union all select dst as a from re0
+          )
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+        f{i} as materialized (
+          select a from rn{i} where a not in (select dst from re{i})
+        ),
+        rn{i + 1} as materialized (
+          select a from rn{i} where a not in (select a from f{i})
+        ),
+        re{i + 1} as materialized (
+          select src, dst from re{i} where src not in (select a from f{i})
+        )""")
+    levels = "\n          union all\n          ".join(
+        f"select a, {i} as level from f{i}" for i in range(rounds)
+    )
+    parts.append(f"""
+        select a as node, cast(level as bigint) as level from (
+          {levels}
+          union all
+          select a, -1 as level from rn{rounds}
+        )
+    """)
+    return "".join(parts)
+
+
+def _cms_sql(depth: int = 4, w_hex: int = 2, salt: str = "cms") -> str:
+    """Full DuckDB recomputation of the count-min sketch row: the same
+    md5(salt:row:token) bucket dag, integer counts, integer min —
+    hash-exact (no floats anywhere)."""
+    return f"""
+        with tok as (
+          select unnest({_TOKENS}) as token from documents
+        ),
+        rws as (select unnest(range(0, {depth})) as row),
+        sk as (
+          select rws.row,
+                 substr(md5('{salt}:' || cast(rws.row as varchar) || ':' || token),
+                        1, {w_hex}) as bucket,
+                 count(*) as cnt
+          from tok, rws group by 1, 2
+        ),
+        q as (
+          select distinct unnest({_TOKENS}) as token
+          from documents where doc_id % 97 = 0
+        ),
+        probe as (
+          select q.token, rws.row,
+                 substr(md5('{salt}:' || cast(rws.row as varchar) || ':' || q.token),
+                        1, {w_hex}) as bucket
+          from q, rws
+        )
+        select p.token, cast(min(coalesce(sk.cnt, 0)) as bigint) as estimate
+        from probe p
+        left join sk on sk.row = p.row and sk.bucket = p.bucket
+        group by p.token
+    """
 
 
 _KGML_COMBOS = (
@@ -3638,4 +3794,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(3),
         "k_truss": _ktruss_sql(4),
+        "topo_levels": _toposort_sql(),
+        "cms_token_counts": _cms_sql(w_hex=1),
     }

@@ -19,15 +19,16 @@ lists -> graph analysis), re-expressed Spark-first:
   plus one-shot clustering coefficient, neighbor-Jaccard /
   Adamic-Adar / resource-allocation / preferential-attachment link
   prediction, Newman modularity scoring, degree assortativity,
-  k-truss decomposition, double-sweep pseudo-diameter, and
-  deterministic DeepWalk-style random walks (``graph/``),
+  k-truss decomposition, double-sweep pseudo-diameter, topological
+  levels with cycle detection (Kahn peeling), and deterministic
+  DeepWalk-style random walks (``graph/``),
 - large-scale training-data pipeline operators (dedup incl. transitive
   cluster closure, similarity search, text analysis incl. repetition
   scoring, corpus profiling, char-bigram LM quality scoring, PII
   scrubbing, benchmark-contamination screening, deterministic splits
   incl. stratified quotas and temperature mixture sampling, mergeable
-  sketches — HyperLogLog distinct counts and fixed-bin histogram
-  quantiles —, concat-and-chunk sequence packing, multimodal plumbing,
+  sketches — HyperLogLog distinct counts, count-min frequency
+  estimates, and fixed-bin histogram quantiles —, concat-and-chunk sequence packing, multimodal plumbing,
   temporal joins, sessionization) (``pipeline/``, ``streaming/``).
 
 No per-row Python anywhere in the hot path: plans are built-in

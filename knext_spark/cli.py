@@ -9,16 +9,17 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|ktruss|diameter|modularity
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|ktruss|diameter|toposort|modularity
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume for the iterative ones (pagerank
                 takes --personalization, a parquet of (node, p)
                 teleport seeds; jaccard takes --min-common and the
                 --max-apex-degree hub governor; bfs and betweenness
                 take --sources, a parquet of (node) seeds; ktruss
-                takes -k; diameter takes --sweeps; modularity takes
-                --labels, a parquet of (node, label), and prints the
-                scalar Q)
+                takes -k; diameter takes --sweeps; toposort emits
+                (node, level) with -1 for cycle-tainted nodes;
+                modularity takes --labels, a parquet of (node, label),
+                and prints the scalar Q)
 
 Usage (cluster):
   spark-submit --py-files knext_spark.zip main.py <verb> [options]
@@ -208,6 +209,14 @@ def cmd_graph(args):
             spark, edges, k=args.k, checkpoint_dir=args.checkpoint_dir,
             run_id=args.run_id, resume=args.resume, max_iter=args.max_iter,
         )
+    elif args.verb == "toposort":
+        from knext_spark.graph import topological_levels_run
+
+        res = topological_levels_run(
+            spark, edges, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume,
+            max_iter=args.max_iter, cadence=args.cadence,
+        )
     elif args.verb == "diameter":
         from knext_spark.graph import pseudo_diameter
 
@@ -320,7 +329,7 @@ def build_parser() -> argparse.ArgumentParser:
     for verb in (
         "pagerank", "hits", "cc", "scc", "lpa", "triangles",
         "clustering", "jaccard", "bfs", "betweenness", "ktruss",
-        "diameter",
+        "diameter", "toposort",
     ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)

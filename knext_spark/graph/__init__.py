@@ -45,6 +45,10 @@ from knext_spark.graph.modularity import (  # noqa: F401
     modularity,
 )
 from knext_spark.graph.walks import node2vec_walks, random_walks  # noqa: F401
+from knext_spark.graph.toposort import (  # noqa: F401
+    topological_levels,
+    topological_levels_run,
+)
 from knext_spark.graph.bfs import (  # noqa: F401
     bfs_distances,
     bfs_distances_run,

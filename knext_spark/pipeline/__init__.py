@@ -34,6 +34,9 @@ from knext_spark.pipeline.text import (  # noqa: F401
 )
 from knext_spark.pipeline.contamination import contamination  # noqa: F401
 from knext_spark.pipeline.sketch import (  # noqa: F401
+    cms_lookup,
+    cms_merge,
+    cms_table,
     histogram,
     histogram_quantiles,
     hll_distinct,

@@ -189,6 +189,134 @@ def hll_distinct(
     )
 
 
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    depth: int = 4,
+    w_hex: int = 2,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan 2005): one row
+    per (group, hash-row, bucket) with the occurrence count of keys
+    landing there — the mergeable frequency twin of the HLL sketch
+    above. ``bucket = first w_hex hex chars of md5(salt:row:key)``,
+    kept AS A STRING like HLL's registers so no numeric conversion
+    exists on either engine; ``depth`` independent hash rows come from
+    salting the row index into the hash input.
+
+    Scale shape: the posexplode multiplies rows x ``depth`` BEFORE a
+    map-side-combinable count, so the shuffle carries at most
+    ``groups x depth x 16^w_hex`` rows no matter the input size, and
+    sketches from disjoint slices MERGE by summing counts
+    (:func:`cms_merge`) — incremental corpus token accounting for
+    free. Point estimates (:func:`cms_lookup`) NEVER undercount; they
+    overcount by collision mass bounded by ~2N/16^w_hex with
+    probability 1 - 2^-depth. All-integer outputs — hash-exact across
+    engines."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if not 1 <= w_hex <= 8:
+        raise ValueError(f"w_hex must be in [1, 8], got {w_hex}")
+    df = df.where(F.col(key_col).isNotNull())
+    rows = F.array([F.lit(r) for r in range(depth)])
+    probe = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(rows).alias("row"),
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("row").cast("string"),
+                F.lit(":"),
+                F.col("__k"),
+            )
+        ),
+        1,
+        w_hex,
+    )
+    return (
+        probe.select(
+            *[F.col(c) for c in group_cols], "row", bucket.alias("bucket")
+        )
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketch tables (e.g. a union of per-day sketches) into one
+    per group: sum per (row, bucket), map-side combinable. The merged
+    table equals :func:`cms_table` over the concatenated input exactly
+    (counts are plain sums)."""
+    return sketches.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    depth: int = 4,
+    w_hex: int = 2,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate the frequency of each query key against a
+    :func:`cms_table` sketch: ``estimate = min over the depth rows of
+    the key's bucket count`` (an absent (row, bucket) cell is an exact
+    0 — the left join's coalesce). Returns
+    (group_cols..., key_col, estimate).
+
+    ``depth``/``w_hex``/``salt`` must match the sketch's build
+    parameters — a width mismatch is caught loudly by the same
+    assert_true guard as :func:`hll_estimate`'s. The sketch side is
+    broadcast (<= groups x depth x 16^w_hex rows by construction), so
+    the probe never shuffles the query table."""
+    sketch = sketch.where(
+        F.assert_true(
+            F.length("bucket") == w_hex,
+            F.lit(
+                f"bucket width != w_hex={w_hex} — sketch built with a different w_hex"
+            ),
+        ).isNull()
+    )
+    q = queries.where(F.col(key_col).isNotNull()).dropDuplicates(
+        [*group_cols, key_col]
+    )
+    rows = F.array([F.lit(r) for r in range(depth)])
+    probe = q.select(
+        *[F.col(c) for c in group_cols],
+        F.col(key_col),
+        F.explode(rows).alias("row"),
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("row").cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        1,
+        w_hex,
+    )
+    probed = probe.withColumn("bucket", bucket).join(
+        F.broadcast(sketch), [*group_cols, "row", "bucket"], "left"
+    )
+    return probed.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "estimate"
+        )
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

@@ -564,6 +564,80 @@ def test_k_core_resume_identical(spark, tmp_path):
     assert want == dict(nx.k_core(G, 2).degree())
 
 
+# ------------------------------------------------------- topological levels
+
+
+def test_topological_levels_match_networkx_generations(spark):
+    """On a DAG, Kahn levels equal nx.topological_generations indices
+    exactly, and no node carries -1 (the DAG check)."""
+    import networkx as nx
+
+    from knext_spark.graph import topological_levels
+
+    e = [(0, 2), (0, 3), (1, 3), (2, 4), (3, 4), (3, 5), (4, 6), (5, 6), (0, 7)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["level"] for r in topological_levels(df).collect()}
+    G = nx.DiGraph(e)
+    want = {
+        n: lvl
+        for lvl, gen in enumerate(nx.topological_generations(G))
+        for n in gen
+    }
+    assert got == want
+    assert -1 not in got.values()
+
+
+def test_topological_levels_cycles_self_loops_string_ids(spark):
+    """Cycle handling on string node ids: nodes ON a cycle (incl. a
+    self-loop) and every node DOWNSTREAM of one flag -1; the clean
+    chain still levels, and a node fed by BOTH a leveled and a cyclic
+    predecessor stays -1 (it never becomes in-degree-0)."""
+    from knext_spark.graph import topological_levels
+
+    e = [
+        ("a", "b"), ("b", "c"),           # clean chain: 0, 1, 2
+        ("d", "e"), ("e", "d"),           # 2-cycle
+        ("e", "f"), ("c", "f"),           # f: cyclic + leveled preds
+        ("g", "g"), ("g", "h"),           # self-loop poisons h
+    ]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r["node"]: r["level"] for r in topological_levels(df).collect()}
+    assert got == {
+        "a": 0, "b": 1, "c": 2,
+        "d": -1, "e": -1, "f": -1, "g": -1, "h": -1,
+    }
+
+
+def test_topological_levels_resume_identical(spark, tmp_path):
+    """Kill-at-round-2 resume for Kahn peeling (north rule: every
+    superstep checkpoints so a killed job resumes mid-iteration). A
+    chain levels one node per round, so several supersteps to resume
+    across; interrupted + resumed must be bit-identical to an
+    uninterrupted run."""
+    from knext_spark.graph import topological_levels_run
+
+    e = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 10), (11, 12)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    full = topological_levels_run(spark, df, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    assert any(m.get("leveled", 0) > 0 for m in full.metrics)
+
+    killed = topological_levels_run(
+        spark, df, checkpoint_dir=str(tmp_path / "p"), max_iter=2
+    )
+    assert not killed.converged  # the "kill": capped before fixpoint
+    resumed = topological_levels_run(
+        spark, df, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    want = {r["node"]: r["level"] for r in full.state.collect()}
+    got = {r["node"]: r["level"] for r in resumed.state.collect()}
+    assert got == want
+    assert want[0] == 0 and want[5] == 5  # the chain leveled fully
+    assert want[10] == want[11] == want[12] == -1  # the cycle + tail
+
+
 # ---------------------------------------------------------------- HITS
 
 from networkx.algorithms.link_analysis.hits_alg import _hits_python

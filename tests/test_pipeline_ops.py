@@ -1260,6 +1260,78 @@ def test_lm_score_separates_languages(spark):
     assert means["en"] > means["zh"]
 
 
+def _py_cms(keys, depth, w_hex, salt="cms"):
+    import hashlib
+    from collections import defaultdict
+
+    sk = defaultdict(int)
+    for k in keys:
+        for r in range(depth):
+            b = hashlib.md5(f"{salt}:{r}:{k}".encode()).hexdigest()[:w_hex]
+            sk[(r, b)] += 1
+    return dict(sk)
+
+
+def test_cms_matches_python_replay_and_never_undercounts(spark):
+    """Count-min sketch (pipeline/sketch.py cms_table/cms_lookup):
+    the sketch table matches a pure-python md5 replay exactly; point
+    estimates never undercount (the CMS guarantee); a wide sketch
+    (no collisions) reproduces exact counts; a narrow one (16 buckets,
+    37 keys) genuinely overcounts somewhere — the test corpus is built
+    to force both regimes."""
+    from collections import Counter
+
+    from knext_spark.pipeline import cms_lookup, cms_table
+
+    keys = [f"k{i % 37}" for i in range(800)] + ["hot"] * 200
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = cms_table(df, "k", depth=3, w_hex=1)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got == _py_cms(keys, depth=3, w_hex=1)
+
+    true = Counter(keys)
+    qdf = spark.createDataFrame([(k,) for k in sorted(true)], "k string")
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_lookup(sk, qdf, "k", depth=3, w_hex=1).collect()
+    }
+    assert all(est[k] >= true[k] for k in true), "CMS undercounted"
+    assert any(est[k] > true[k] for k in true), (
+        "16-bucket sketch over 38 keys should collide somewhere"
+    )
+    wide = cms_lookup(
+        cms_table(df, "k", depth=3, w_hex=6), qdf, "k", depth=3, w_hex=6
+    )
+    assert {r["k"]: r["estimate"] for r in wide.collect()} == dict(true)
+
+
+def test_cms_merge_exactness_and_guards(spark):
+    """Sketches from disjoint slices merge (sum) into exactly the
+    whole-input sketch; parameter guards reject bad depth/width; a
+    lookup against a sketch built at a different w_hex fails LOUDLY
+    (assert_true) instead of silently probing wrong buckets."""
+    import pytest as _pytest
+
+    from knext_spark.pipeline import cms_lookup, cms_merge, cms_table
+
+    rows = [(f"t{i % 11}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    h1 = cms_table(df.where("k < 't5'"), "k", depth=4, w_hex=2)
+    h2 = cms_table(df.where("k >= 't5'"), "k", depth=4, w_hex=2)
+    merged = cms_merge(h1.unionByName(h2))
+    direct = cms_table(df, "k", depth=4, w_hex=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    with _pytest.raises(ValueError):
+        cms_table(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        cms_table(df, "k", w_hex=9)
+    q = spark.createDataFrame([("t1",)], "k string")
+    with _pytest.raises(Exception, match="w_hex"):
+        cms_lookup(direct, q, "k", depth=4, w_hex=1).collect()
+
+
 def test_histogram_bins_and_merge(spark):
     import pytest as _pytest
 

@@ -321,6 +321,55 @@ def test_path_counts_random_graphs_match_networkx(spark, edges):
 
 @given(
     st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_topological_levels_random_graphs_match_kahn(spark, edges):
+    """Kahn levels from topological_levels equal a pure-python Kahn
+    replay on random digraphs (self-loops and parallel edges allowed):
+    leveled nodes get the peeling-round index, everything the peeling
+    never reaches (on or downstream of a cycle) gets -1."""
+    from knext_spark.graph import topological_levels
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["level"] for r in topological_levels(df).collect()}
+
+    succ: dict[int, set[int]] = {}
+    nodes: set[int] = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        succ.setdefault(a, set()).add(b)
+    indeg = {n: 0 for n in nodes}
+    for a, ds in succ.items():
+        for d in ds:
+            indeg[d] += 1
+    want = {}
+    cur = sorted(n for n in nodes if indeg[n] == 0)
+    lvl = 0
+    while cur:
+        nxt = set()
+        for n in cur:
+            want[n] = lvl
+            for d in succ.get(n, ()):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    nxt.add(d)
+        cur = sorted(nxt)
+        lvl += 1
+    for n in nodes:
+        want.setdefault(n, -1)
+    assert got == want
+
+
+@given(
+    st.lists(
         st.text(alphabet="abcxyz019", min_size=0, max_size=12),
         min_size=1,
         max_size=40,
