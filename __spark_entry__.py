@@ -1181,6 +1181,18 @@ def q_token_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Maximal cross-doc duplicated token spans (pipeline/dedup.py
+    dup_spans — the exact-substring-dedup span-extraction shape):
+    w=5 windows occurring in >= 2 distinct docs, merged per doc by a
+    running-max interval window. All integers — hash-exact against a
+    full DuckDB recomputation of the same window/semi-join/merge dag
+    (_dup_spans_sql)."""
+    from knext_spark.pipeline import dup_spans
+
+    return dup_spans(_read(spark, sf_dir, "documents"), w=5, min_docs=2)
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-min sketch point estimates (pipeline/sketch.py cms_table /
     cms_lookup): build a depth=4 x 16-bucket sketch over every token
@@ -1847,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "topo_levels": q_topo_levels,
         "cms_token_counts": q_cms_token_counts,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2461,6 +2474,54 @@ def _toposort_sql(rounds: int = 16) -> str:
         )
     """)
     return "".join(parts)
+
+
+def _dup_spans_sql(w: int = 5, min_docs: int = 2) -> str:
+    """Full DuckDB recomputation of dup_spans: same positional
+    windows (DuckDB range(1, 0) is empty, so the short-doc guard is
+    the where clause; Spark needs the explicit n >= w guard because
+    sequence(0, n-w) DESCENDS there), same per-doc-distinct frequency
+    aggregate, semi join, running-max interval merge — pure integers,
+    hash-exact."""
+    e = w - 1
+    return f"""
+        with tok as (
+          select doc_id, {_TOKENS} as toks from documents
+        ),
+        wins as (
+          select doc_id,
+                 unnest(list_transform(range(1, len(toks) - {w} + 2),
+                        i -> {{'pos': i - 1,
+                               'sh': array_to_string(toks[i:i+{e}], ' ')}})) as u
+          from tok where len(toks) >= {w}
+        ),
+        occ as (select doc_id, u.pos as pos, u.sh as sh from wins),
+        dup as (
+          select sh from (select distinct sh, doc_id from occ)
+          group by sh having count(*) >= {min_docs}
+        ),
+        hits as (select o.doc_id, o.pos from occ o semi join dup using (sh)),
+        flag as (
+          select doc_id, pos,
+                 case when max(pos + {e}) over w1 is null
+                           or pos > max(pos + {e}) over w1 + 1
+                      then 1 else 0 end as is_new
+          from hits
+          window w1 as (partition by doc_id order by pos
+                        rows between unbounded preceding and 1 preceding)
+        ),
+        sp as (
+          select doc_id, pos,
+                 sum(is_new) over (partition by doc_id order by pos
+                     rows between unbounded preceding and current row) as span_id
+          from flag
+        )
+        select doc_id,
+               cast(min(pos) as bigint) as span_start,
+               cast(max(pos) + {e} as bigint) as span_end,
+               cast(max(pos) + {e} - min(pos) + 1 as bigint) as n_tokens
+        from sp group by doc_id, span_id
+    """
 
 
 def _cms_sql(depth: int = 4, w_hex: int = 2, salt: str = "cms") -> str:
@@ -3796,4 +3857,5 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": _ktruss_sql(4),
         "topo_levels": _toposort_sql(),
         "cms_token_counts": _cms_sql(w_hex=1),
+        "dup_spans": _dup_spans_sql(),
     }

@@ -552,3 +552,103 @@ def dedup_against(
             "near_jaccard",
         )
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    w: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document —
+    the span-extraction shape of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    rather than dropping whole documents that merely *contain* a
+    repeated region (minhash/jaccard above) or repeated lines
+    (:func:`line_dedup`), report the exact token ranges a trainer
+    should cut.
+
+    A token position is duplicated when some ``w``-token window
+    covering it occurs verbatim in >= ``min_docs`` distinct documents;
+    overlapping or adjacent duplicated windows merge into maximal
+    spans. Returns ``(key, span_start, span_end, n_tokens)`` with
+    0-based inclusive token indices (the caller's tokenization is
+    :func:`knext_spark.pipeline.text.tokens_col`, same as every other
+    token operator here). Documents shorter than ``w`` tokens yield no
+    rows; a document with no cross-doc duplication yields no rows.
+
+    Scale shape (the reason this is NOT a suffix array): one
+    posexplode-style window scan; the doc-frequency aggregate runs on
+    the per-doc-distinct (shingle, key) projection (map-side
+    combinable); the duplicated-shingle set comes back via a SEMI
+    join on the shingle — cost linear in corpus windows, never a
+    pairwise explosion, so a boilerplate shingle in a million
+    documents costs exactly its own occurrences (no ``max_posting``
+    cap needed, unlike the pairwise :func:`ngram_jaccard_pairs`). The
+    span merge is one running-max window per document — all integer
+    arithmetic, hash-exact against the DuckDB oracle (driver row
+    ``dup_spans``)."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # windows with positions; the n >= w guard matters: Spark's
+    # sequence(0, n-w) DESCENDS when n < w instead of returning empty
+    wins = df.select(
+        F.col(key),
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(toks, i + 1, w), " ").alias("sh"),
+                ),
+            ),
+        ).alias("wins"),
+    ).where(F.col("wins").isNotNull())
+    occ = wins.select(F.col(key), F.explode("wins").alias("u")).select(
+        key, F.col("u.pos").alias("pos"), F.col("u.sh").alias("sh")
+    )
+    dup = (
+        occ.select("sh", key)
+        .dropDuplicates(["sh", key])
+        .groupBy("sh")
+        .agg(F.count("*").alias("df_"))
+        .where(F.col("df_") >= min_docs)
+        .select("sh")
+    )
+    hits = occ.join(dup, "sh", "left_semi").select(key, "pos")
+    wdoc = Window.partitionBy(key).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        F.col(key),
+        F.col("pos"),
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    span_id = F.sum("is_new").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("span_id", span_id)
+        .groupBy(key, "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            key,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )

@@ -1562,3 +1562,110 @@ def test_sketch_null_handling(spark):
         hll_estimate(regs, k_hex=2).collect()
     with _pytest.raises(ValueError):
         histogram_quantiles(h, [], 0, 10, 5)
+
+
+def test_dup_spans_semantics(spark):
+    """Hand-built corpus: a 7-token phrase shared by two docs yields
+    one maximal merged span per doc at each doc's own offset (w=5 ->
+    three overlapping duplicated windows merge into start..start+6);
+    a unique doc and a doc shorter than w yield no rows."""
+    from knext_spark.pipeline import dup_spans
+
+    phrase = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {phrase} four five"),
+            (2, f"{phrase} something else entirely here now"),
+            (3, "completely unique wording with no repeats at all ever"),
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_spans(docs, w=5, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_tokens"]) == (3, 9, 7)
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_tokens"]) == (0, 6, 7)
+
+
+def test_dup_spans_two_regions_stay_separate(spark):
+    """Two duplicated regions in one doc separated by enough unique
+    filler come back as two spans, not one; each region is anchored by
+    a different partner doc."""
+    from knext_spark.pipeline import dup_spans
+
+    r1 = "red orange yellow green blue"
+    r2 = "north south east west center"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{r1} filler1 filler2 filler3 filler4 filler5 filler6 {r2}"),
+            (2, f"intro words here {r1} outro words there"),
+            (3, f"{r2} trailing unique tail tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dup_spans(docs, w=5, min_docs=2).collect()
+    )
+    assert rows == [
+        (1, 0, 4, 5),
+        (1, 11, 15, 5),
+        (2, 3, 7, 5),
+        (3, 0, 4, 5),
+    ]
+
+
+def test_dup_spans_python_replay(spark):
+    """Seeded pseudo-random corpus from a tiny vocab (to force window
+    collisions) replayed in pure python: identical window scan,
+    doc-frequency filter, and adjacent-interval merge."""
+    import random
+
+    from knext_spark.pipeline import dup_spans
+
+    rng = random.Random(75)
+    vocab = ["aa", "bb", "cc", "dd"]
+    corpus = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(2, 18))]
+        for d in range(1, 25)
+    }
+    w = 4
+    dfreq: dict[str, set[int]] = {}
+    for d, toks in corpus.items():
+        for i in range(len(toks) - w + 1):
+            dfreq.setdefault(" ".join(toks[i : i + w]), set()).add(d)
+    expect = []
+    for d, toks in corpus.items():
+        hits = [
+            i
+            for i in range(len(toks) - w + 1)
+            if len(dfreq[" ".join(toks[i : i + w])]) >= 2
+        ]
+        spans: list[list[int]] = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + w - 1)
+            else:
+                spans.append([i, i + w - 1])
+        expect += [(d, s, e, e - s + 1) for s, e in spans]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dup_spans(docs, w=w, min_docs=2).collect()
+    )
+    assert got == sorted(expect) and len(got) > 10
+
+
+def test_dup_spans_rejects_bad_params(spark):
+    """w < 1 and min_docs < 2 fail loudly."""
+    import pytest as _pytest
+
+    from knext_spark.pipeline import dup_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dup_spans(df, w=0)
+    with _pytest.raises(ValueError):
+        dup_spans(df, min_docs=1)
