@@ -1193,6 +1193,21 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(_read(spark, sf_dir, "documents"), w=5, min_docs=2)
 
 
+def q_contaminated_spans(spark, sf_dir):
+    """Decontamination spans (pipeline/dedup.py contaminated_spans):
+    split documents into a pseudo-benchmark (doc_id % 10 == 0) and a
+    training side, report every maximal training-token span whose w=5
+    windows appear verbatim in the benchmark. All integers —
+    hash-exact against a full DuckDB recomputation of the same
+    window/semi-join/merge dag (_contam_spans_sql)."""
+    from knext_spark.pipeline import contaminated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return contaminated_spans(train, ref, w=5)
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-min sketch point estimates (pipeline/sketch.py cms_table /
     cms_lookup): build a depth=4 x 16-bucket sketch over every token
@@ -1860,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_levels": q_topo_levels,
         "cms_token_counts": q_cms_token_counts,
         "dup_spans": q_dup_spans,
+        "contaminated_spans": q_contaminated_spans,
     }
 
 
@@ -2501,6 +2517,53 @@ def _dup_spans_sql(w: int = 5, min_docs: int = 2) -> str:
           group by sh having count(*) >= {min_docs}
         ),
         hits as (select o.doc_id, o.pos from occ o semi join dup using (sh)),
+        flag as (
+          select doc_id, pos,
+                 case when max(pos + {e}) over w1 is null
+                           or pos > max(pos + {e}) over w1 + 1
+                      then 1 else 0 end as is_new
+          from hits
+          window w1 as (partition by doc_id order by pos
+                        rows between unbounded preceding and 1 preceding)
+        ),
+        sp as (
+          select doc_id, pos,
+                 sum(is_new) over (partition by doc_id order by pos
+                     rows between unbounded preceding and current row) as span_id
+          from flag
+        )
+        select doc_id,
+               cast(min(pos) as bigint) as span_start,
+               cast(max(pos) + {e} as bigint) as span_end,
+               cast(max(pos) + {e} - min(pos) + 1 as bigint) as n_tokens
+        from sp group by doc_id, span_id
+    """
+
+
+def _contam_spans_sql(w: int = 5) -> str:
+    """Full DuckDB recomputation of contaminated_spans over the
+    doc_id % 10 pseudo-benchmark split: same positional windows as
+    _dup_spans_sql, reference side reduced to its distinct shingles,
+    semi join, running-max interval merge — pure integers,
+    hash-exact."""
+    e = w - 1
+    return f"""
+        with tok as (
+          select doc_id, {_TOKENS} as toks from documents
+        ),
+        wins as (
+          select doc_id,
+                 unnest(list_transform(range(1, len(toks) - {w} + 2),
+                        i -> {{'pos': i - 1,
+                               'sh': array_to_string(toks[i:i+{e}], ' ')}})) as u
+          from tok where len(toks) >= {w}
+        ),
+        occ as (select doc_id, u.pos as pos, u.sh as sh from wins),
+        refsh as (select distinct sh from occ where doc_id % 10 = 0),
+        hits as (
+          select o.doc_id, o.pos from occ o semi join refsh using (sh)
+          where o.doc_id % 10 <> 0
+        ),
         flag as (
           select doc_id, pos,
                  case when max(pos + {e}) over w1 is null
@@ -3858,4 +3921,5 @@ def oracle_sql() -> dict[str, str]:
         "topo_levels": _toposort_sql(),
         "cms_token_counts": _cms_sql(w_hex=1),
         "dup_spans": _dup_spans_sql(),
+        "contaminated_spans": _contam_spans_sql(),
     }

@@ -47,6 +47,7 @@ from knext_spark.pipeline.sketch import (  # noqa: F401
 from knext_spark.pipeline.packing import pack_sequences  # noqa: F401
 from knext_spark.pipeline.lm import char_bigram_counts, lm_score  # noqa: F401
 from knext_spark.pipeline.dedup import (  # noqa: F401
+    contaminated_spans,
     dedup_against,
     dup_spans,
     dedup_clusters,

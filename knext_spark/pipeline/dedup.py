@@ -554,6 +554,69 @@ def dedup_against(
     )
 
 
+def _window_occurrences(
+    df: DataFrame, text_col: str, key: str, w: int
+) -> DataFrame:
+    """Every ``w``-token window of every document as ``(key, pos,
+    sh)`` — 0-based start position and the space-joined shingle text.
+    One narrow scan + explode, no shuffle; the n >= w guard matters
+    because Spark's ``sequence(0, n-w)`` DESCENDS when n < w instead
+    of returning empty."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    wins = df.select(
+        F.col(key),
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(toks, i + 1, w), " ").alias("sh"),
+                ),
+            ),
+        ).alias("wins"),
+    ).where(F.col("wins").isNotNull())
+    return wins.select(F.col(key), F.explode("wins").alias("u")).select(
+        key, F.col("u.pos").alias("pos"), F.col("u.sh").alias("sh")
+    )
+
+
+def _merge_hit_spans(hits: DataFrame, key: str, w: int) -> DataFrame:
+    """Merge flagged window start positions ``(key, pos)`` into
+    maximal ``(key, span_start, span_end, n_tokens)`` intervals, each
+    window covering ``[pos, pos + w - 1]``: one running-max window per
+    document, pure integer arithmetic."""
+    wdoc = Window.partitionBy(key).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        F.col(key),
+        F.col("pos"),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    span_id = F.sum("is_new").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("span_id", span_id)
+        .groupBy(key, "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            key,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
 def dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -593,26 +656,7 @@ def dup_spans(
         raise ValueError(f"w must be >= 1, got {w}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    # windows with positions; the n >= w guard matters: Spark's
-    # sequence(0, n-w) DESCENDS when n < w instead of returning empty
-    wins = df.select(
-        F.col(key),
-        F.when(
-            n >= w,
-            F.transform(
-                F.sequence(F.lit(0), n - w),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.array_join(F.slice(toks, i + 1, w), " ").alias("sh"),
-                ),
-            ),
-        ).alias("wins"),
-    ).where(F.col("wins").isNotNull())
-    occ = wins.select(F.col(key), F.explode("wins").alias("u")).select(
-        key, F.col("u.pos").alias("pos"), F.col("u.sh").alias("sh")
-    )
+    occ = _window_occurrences(df, text_col, key, w)
     dup = (
         occ.select("sh", key)
         .dropDuplicates(["sh", key])
@@ -622,33 +666,55 @@ def dup_spans(
         .select("sh")
     )
     hits = occ.join(dup, "sh", "left_semi").select(key, "pos")
-    wdoc = Window.partitionBy(key).orderBy("pos")
-    prev_end = F.max(F.col("pos") + (w - 1)).over(
-        wdoc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = hits.select(
-        F.col(key),
-        F.col("pos"),
-        F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    return _merge_hit_spans(hits, key, w)
+
+
+def contaminated_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    key: str = "doc_id",
+    w: int = 5,
+) -> DataFrame:
+    """Decontamination span extraction: maximal token spans of each
+    training document (``df``) that appear verbatim anywhere in a
+    reference corpus (``ref`` — an eval benchmark, a test split, a
+    blocklist). The cross-corpus twin of :func:`dup_spans` and the
+    standard n-gram decontamination check (GPT-3 appendix C /
+    PaLM-style 8-gram overlap): a training-token position is
+    contaminated when some ``w``-token window covering it occurs in
+    any reference document; overlapping or adjacent contaminated
+    windows merge into maximal spans.
+
+    Returns ``(key, span_start, span_end, n_tokens)`` with 0-based
+    inclusive token indices under the shared
+    :func:`knext_spark.pipeline.text.tokens_col` tokenization. Clean
+    documents and documents shorter than ``w`` tokens yield no rows —
+    downstream either drops flagged docs or cuts just the spans.
+
+    Scale shape: the reference side reduces to its DISTINCT shingle
+    set (benchmarks are tiny next to the corpus, so after the distinct
+    this is often broadcastable — Spark's AQE/stats pick that up; at
+    1000-executor scale with a big blocklist the semi join hash-
+    shuffles on the shingle, still linear in corpus windows, never
+    pairwise). The merge is the same per-document running-max window
+    as :func:`dup_spans`. All integers — hash-exact against the
+    DuckDB oracle (driver row ``contaminated_spans``)."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    occ = _window_occurrences(df, text_col, key, w)
+    # ref needs only its text column; synthesize a constant key so the
+    # shared window scan never assumes a ref schema beyond the text
+    ref_sh = (
+        _window_occurrences(
+            ref.select(F.lit(0).alias("__rk"), F.col(ref_text_col).alias("__rt")),
+            "__rt",
+            "__rk",
+            w,
         )
-        .otherwise(0)
-        .alias("is_new"),
+        .select("sh")
+        .dropDuplicates(["sh"])
     )
-    span_id = F.sum("is_new").over(
-        wdoc.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        flagged.withColumn("span_id", span_id)
-        .groupBy(key, "span_id")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + (w - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            key,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
-        )
-    )
+    hits = occ.join(ref_sh, "sh", "left_semi").select(key, "pos")
+    return _merge_hit_spans(hits, key, w)

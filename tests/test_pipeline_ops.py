@@ -1669,3 +1669,90 @@ def test_dup_spans_rejects_bad_params(spark):
         dup_spans(df, w=0)
     with _pytest.raises(ValueError):
         dup_spans(df, min_docs=1)
+
+
+def test_contaminated_spans_semantics(spark):
+    """Hand-built benchmark of one question: the training doc that
+    quotes it verbatim gets exactly the quoted range flagged; a clean
+    doc and a too-short doc yield nothing; the benchmark's own rows
+    never appear in the output. The ref side needs only a text column
+    (different name, no doc_id)."""
+    from knext_spark.pipeline import contaminated_spans
+
+    q = "what is the capital of france paris"
+    train = spark.createDataFrame(
+        [
+            (1, f"some intro text then {q} and trailing words"),
+            (2, "entirely clean training content with nothing shared here"),
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame([(q,)], ["question"])
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in contaminated_spans(
+            train, ref, ref_text_col="question", w=5
+        ).collect()
+    )
+    # q is 7 tokens at positions 4..10 of doc 1
+    assert rows == [(1, 4, 10, 7)]
+
+
+def test_contaminated_spans_python_replay(spark):
+    """Seeded pseudo-random train/benchmark corpora from a tiny vocab
+    replayed in pure python: identical window scan, reference-shingle
+    membership, and adjacent-interval merge."""
+    import random
+
+    from knext_spark.pipeline import contaminated_spans
+
+    rng = random.Random(19)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    train = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(2, 20))]
+        for d in range(1, 30)
+    }
+    bench = [
+        [rng.choice(vocab) for _ in range(rng.randint(2, 12))] for _ in range(6)
+    ]
+    w = 4
+    ref_sh = {
+        " ".join(b[i : i + w])
+        for b in bench
+        for i in range(len(b) - w + 1)
+    }
+    expect = []
+    for d, toks in train.items():
+        hits = [
+            i
+            for i in range(len(toks) - w + 1)
+            if " ".join(toks[i : i + w]) in ref_sh
+        ]
+        spans: list[list[int]] = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + w - 1)
+            else:
+                spans.append([i, i + w - 1])
+        expect += [(d, s, e, e - s + 1) for s, e in spans]
+    tdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in train.items()], ["doc_id", "text"]
+    )
+    rdf = spark.createDataFrame([(" ".join(b),) for b in bench], ["text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in contaminated_spans(tdf, rdf, w=w).collect()
+    )
+    assert got == sorted(expect) and len(got) > 5
+
+
+def test_contaminated_spans_rejects_bad_params(spark):
+    """w < 1 fails loudly."""
+    import pytest as _pytest
+
+    from knext_spark.pipeline import contaminated_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        contaminated_spans(df, df, w=0)
