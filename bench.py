@@ -1822,6 +1822,172 @@ def run_r5ops(sf_dir: str, levels=(2, 8)) -> dict:
     }
 
 
+def run_spanops(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for the final round-5 additions:
+
+    - dup_spans over a k-fold replicated documents table. Replication
+      (distinct doc_ids, identical text) makes EVERY shingle cross-doc
+      duplicated, so this measures the dense-hit WORST case: full
+      window scan, full-volume semi join, every position through the
+      per-doc merge window — the honest upper bound on span-extraction
+      cost, not a cherry-picked sparse input;
+    - contaminated_spans against a small pseudo-benchmark (every 101st
+      original doc), the sparse-hit production shape;
+    - cms_table count-min accounting over all corpus tokens (shuffle
+      capped at groups x depth x 16^w_hex rows regardless of input);
+    - topological_levels Kahn peeling over the KGML-derived encoded
+      edge table (round count is data-determined, hence identical at
+      both levels, like the fixed-round truss protocol).
+
+    Protocol mirrors --r5ops: inputs written once to shared Parquet,
+    each level reads the same bytes, min-of-runs walls, rows-or-edges
+    /sec + per-pair scaling efficiency."""
+    from knext_spark.session import get_spark
+    from knext_spark.graph import topological_levels_run
+    from knext_spark.pipeline import cms_table, contaminated_spans, dup_spans
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_NO_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_NO_LEVELS"].split(",")
+        )
+    n_docs = int(os.environ.get("SPARK_GRAFT_NO_DOCS", "20000"))
+    runs = int(os.environ.get("SPARK_GRAFT_NO_RUNS", "2"))
+    doc_reps = int(os.environ.get("SPARK_GRAFT_NO_DOC_REPS", "20"))
+    topo_rounds = int(os.environ.get("SPARK_GRAFT_TOPO_ROUNDS", "4"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_span_edges_")
+    docs_dir = tempfile.mkdtemp(prefix="bench_span_docs_")
+    ref_dir = tempfile.mkdtemp(prefix="bench_span_ref_")
+    spark = get_spark(
+        "bench_span_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    base = _build_kgml_edges(spark, sf, n_docs=n_docs, scale=3.0, mixed=True)
+    (
+        base.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    (
+        docs0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(doc_reps - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") * doc_reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+    docs0.where(F.col("doc_id") % 101 == 0).write.mode("overwrite").parquet(
+        ref_dir
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_span_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        docs = spark.read.parquet(docs_dir).persist()
+        n_rows = docs.count()
+        ref = spark.read.parquet(ref_dir).persist()
+        ref.count()
+        level = {"n_edges": n_edges, "n_docs": n_rows}
+        tok = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(16)).alias("grp"),
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("token"),
+        )
+        def _topo():
+            ck = tempfile.mkdtemp(prefix="bench_topo_", dir=shm)
+            return topological_levels_run(
+                spark, edges, checkpoint_dir=ck, max_iter=topo_rounds
+            ).state
+
+        for name, denom, fn in (
+            ("dup_spans", n_rows, lambda: dup_spans(docs, w=8)),
+            ("contaminated_spans", n_rows,
+             lambda: contaminated_spans(docs, ref, w=8)),
+            ("cms_table", n_rows, lambda: cms_table(tok, "token", ["grp"])),
+            (f"topo_levels_{topo_rounds}rounds", n_edges * topo_rounds, _topo),
+        ):
+            walls, rows = [], None
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn()
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+                rows = df.count()
+            w = min(walls)
+            level[name] = {
+                "wall_s": round(w, 2),
+                "rows_per_sec": round(denom / w, 1),
+                "out_rows": rows,
+                "walls": [round(x, 2) for x in walls],
+            }
+        out[f"local[{cpus}]"] = level
+        edges.unpersist()
+        docs.unpersist()
+        ref.unpersist()
+        spark.stop()
+
+    algos = (
+        "dup_spans", "contaminated_spans", "cms_table",
+        f"topo_levels_{topo_rounds}rounds",
+    )
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in algos:
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["rows_per_sec"]
+                / out[f"local[{lo}]"][algo]["rows_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    headline = (
+        pairs[f"dup_spans:{levels[0]}->{levels[1]}"]
+        if len(levels) >= 2
+        else None
+    )
+    return {
+        "metric": "spanops_scaling_efficiency",
+        "value": headline,
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "n_docs_graph": n_docs,
+        "doc_reps": doc_reps,
+        "topo_rounds": topo_rounds,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
@@ -1936,6 +2102,8 @@ if __name__ == "__main__":
         emit(run_newops(sf_dir))
     elif "--r5ops" in sys.argv:
         emit(run_r5ops(sf_dir))
+    elif "--spanops" in sys.argv:
+        emit(run_spanops(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))

@@ -681,11 +681,14 @@ def contaminated_spans(
     training document (``df``) that appear verbatim anywhere in a
     reference corpus (``ref`` — an eval benchmark, a test split, a
     blocklist). The cross-corpus twin of :func:`dup_spans` and the
-    standard n-gram decontamination check (GPT-3 appendix C /
-    PaLM-style 8-gram overlap): a training-token position is
-    contaminated when some ``w``-token window covering it occurs in
-    any reference document; overlapping or adjacent contaminated
-    windows merge into maximal spans.
+    WHERE companion to the HOW-MUCH screen
+    (:func:`knext_spark.pipeline.contamination.contamination`, which
+    reports per-doc hit ratios for threshold policies): a
+    training-token position is contaminated when some ``w``-token
+    window covering it occurs in any reference document (GPT-3
+    appendix C / PaLM-style n-gram overlap); overlapping or adjacent
+    contaminated windows merge into maximal spans a trainer can cut
+    instead of dropping the whole document.
 
     Returns ``(key, span_start, span_end, n_tokens)`` with 0-based
     inclusive token indices under the shared
