@@ -432,3 +432,80 @@ def test_histogram_matches_python_on_random_values(spark, vals, lo, span, bins):
         b = min(max((v - lo) * bins, 0) // span, bins - 1)
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def _py_merge_spans(hits, w):
+    spans = []
+    for i in hits:
+        if spans and i <= spans[-1][1] + 1:
+            spans[-1][1] = max(spans[-1][1], i + w - 1)
+        else:
+            spans.append([i, i + w - 1])
+    return spans
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(2, 3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_operators_match_python_on_random_corpora(spark, docs, w):
+    """Property: dup_spans equals the pure-python window/doc-frequency
+    /merge replay on any corpus over a binary alphabet (maximal token
+    collisions), and contaminated_spans with ref = the corpus's even-
+    indexed docs equals the membership replay — including empty docs,
+    docs shorter than w, and all-duplicate corpora."""
+    from knext_spark.pipeline import contaminated_spans, dup_spans
+
+    corpus = {i + 1: toks for i, toks in enumerate(docs)}
+    sh = lambda t, i: " ".join(t[i : i + w])  # noqa: E731
+
+    dfreq: dict[str, set[int]] = {}
+    for d, toks in corpus.items():
+        for i in range(len(toks) - w + 1):
+            dfreq.setdefault(sh(toks, i), set()).add(d)
+    want_dup = []
+    for d, toks in corpus.items():
+        hits = [
+            i
+            for i in range(len(toks) - w + 1)
+            if len(dfreq[sh(toks, i)]) >= 2
+        ]
+        want_dup += [(d, s, e, e - s + 1) for s, e in _py_merge_spans(hits, w)]
+
+    ref_ids = [d for d in corpus if d % 2 == 0]
+    ref_sh = {
+        sh(corpus[d], i)
+        for d in ref_ids
+        for i in range(len(corpus[d]) - w + 1)
+    }
+    want_con = []
+    for d, toks in corpus.items():
+        if d in ref_ids:
+            continue
+        hits = [
+            i for i in range(len(toks) - w + 1) if sh(toks, i) in ref_sh
+        ]
+        want_con += [(d, s, e, e - s + 1) for s, e in _py_merge_spans(hits, w)]
+
+    sdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()], ["doc_id", "text"]
+    )
+    got_dup = sorted(
+        map(tuple, dup_spans(sdf, w=w, min_docs=2).collect())
+    )
+    assert got_dup == sorted(want_dup)
+    train = sdf.where(sdf.doc_id % 2 != 0)
+    ref = sdf.where(sdf.doc_id % 2 == 0)
+    got_con = sorted(
+        map(tuple, contaminated_spans(train, ref, w=w).collect())
+    )
+    assert got_con == sorted(want_con)
