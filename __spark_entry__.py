@@ -1208,6 +1208,19 @@ def q_contaminated_spans(spark, sf_dir):
     return contaminated_spans(train, ref, w=5)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned over the documents corpus
+    (pipeline/bpe.py bpe_merges — Sennrich-style subword learning on
+    the word-frequency dictionary). Deterministic (count desc, pair
+    asc tie-break); integer counts and plain-string symbols —
+    hash-exact against a full DuckDB recomputation that unrolls all 8
+    rounds with the identical list_reduce greedy-merge fold
+    (_bpe_sql)."""
+    from knext_spark.pipeline import bpe_merges
+
+    return bpe_merges(_read(spark, sf_dir, "documents"), k=8)
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-min sketch point estimates (pipeline/sketch.py cms_table /
     cms_lookup): build a depth=4 x 16-bucket sketch over every token
@@ -1876,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "dup_spans": q_dup_spans,
         "contaminated_spans": q_contaminated_spans,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2585,6 +2599,50 @@ def _contam_spans_sql(w: int = 5) -> str:
                cast(max(pos) + {e} - min(pos) + 1 as bigint) as n_tokens
         from sp group by doc_id, span_id
     """
+
+
+def _bpe_sql(k: int = 8) -> str:
+    """Full DuckDB recomputation of bpe_merges: k unrolled rounds,
+    each = adjacent-pair count over the word-frequency dictionary,
+    (total desc, a, b) argmax, and the SAME leftmost-greedy
+    list_reduce fold the engine uses (string accumulator joined by
+    chr(31); merging appends the right symbol directly so the last
+    symbol becomes the concatenation — see pipeline/bpe.py module
+    docstring for why single-pass string replace would be wrong).
+    Integer counts, plain-string symbols — hash-exact."""
+    parts = [f"""
+        with w0 as (
+          select word, cast(count(*) as bigint) as cnt,
+                 array_to_string(regexp_extract_all(word, '.'), chr(31)) as s
+          from (select unnest({_TOKENS}) as word from documents)
+          group by word
+        )"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+        p{r} as (
+          select u.a as a, u.b as b, cast(sum(cnt) as bigint) as total
+          from (
+            select cnt,
+                   unnest(list_transform(range(1, len(sy)),
+                          i -> {{'a': sy[i], 'b': sy[i+1]}})) as u
+            from (select cnt, string_split(s, chr(31)) as sy from w{r-1})
+          ) group by u.a, u.b
+        ),
+        b{r} as (select a, b, total from p{r} order by total desc, a, b limit 1),
+        w{r} as (
+          select word, cnt,
+                 list_reduce(string_split(s, chr(31)), (acc, x) ->
+                   case when (acc = b{r}.a or ends_with(acc, chr(31) || b{r}.a))
+                             and x = b{r}.b
+                        then acc || x else acc || chr(31) || x end) as s
+          from w{r-1} cross join b{r}
+        )""")
+    sel = "\n        union all ".join(
+        f"select cast({r} as bigint) as merge_round, a as left_sym,"
+        f" b as right_sym, a || b as merged, total as pair_count from b{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n        " + sel
 
 
 def _cms_sql(depth: int = 4, w_hex: int = 2, salt: str = "cms") -> str:
@@ -3922,4 +3980,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counts": _cms_sql(w_hex=1),
         "dup_spans": _dup_spans_sql(),
         "contaminated_spans": _contam_spans_sql(),
+        "bpe_merges": _bpe_sql(8),
     }

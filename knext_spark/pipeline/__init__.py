@@ -45,6 +45,7 @@ from knext_spark.pipeline.sketch import (  # noqa: F401
     hll_registers,
 )
 from knext_spark.pipeline.packing import pack_sequences  # noqa: F401
+from knext_spark.pipeline.bpe import bpe_encode, bpe_merges  # noqa: F401
 from knext_spark.pipeline.lm import char_bigram_counts, lm_score  # noqa: F401
 from knext_spark.pipeline.dedup import (  # noqa: F401
     contaminated_spans,

@@ -1756,3 +1756,122 @@ def test_contaminated_spans_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         contaminated_spans(df, df, w=0)
+
+
+def test_bpe_merges_sennrich_example(spark):
+    """The canonical Sennrich et al. corpus (low:5, lower:2, newest:6,
+    widest:3) learns exactly the textbook merge sequence, with the
+    lexicographic tie-break deciding (e,s) over (s,t) at 9 and (e,w)
+    over (n,e)/(w,est) at 6."""
+    from knext_spark.pipeline import bpe_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_merges(docs, k=6).collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+        (6, "ew", "est", "ewest", 6),
+    ]
+
+
+def test_bpe_merges_greedy_overlap_chain(spark):
+    """Overlapping self-pair chains: 'aaaa' folds to [aa,aa] and
+    'aaaaa' to [aa,aa,a] (leftmost-greedy), so round 2 sees (aa,aa)
+    three times — a wrong fold ([aa,a,aa]) would give two and a
+    different merge table. Early stop: a corpus of single-char words
+    yields zero merges."""
+    from knext_spark.pipeline import bpe_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaaa")], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_merges(docs, k=5).collect()]
+    assert got[:2] == [(1, "a", "a", "aa", 10), (2, "aa", "aa", "aaaa", 3)]
+    singles = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    assert bpe_merges(singles, k=3).count() == 0
+
+
+def _py_bpe(freqs: dict, k: int):
+    """Pure-python BPE replay: same tie-break, same greedy fold."""
+    state = {w: tuple(w) for w in freqs}
+    out = []
+    for r in range(1, k + 1):
+        pc: dict = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + freqs[w]
+        if not pc:
+            break
+        (a, b), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, a, b, a + b, total))
+        nxt = {}
+        for w, syms in state.items():
+            acc = [syms[0]]
+            for x in syms[1:]:
+                if acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            nxt[w] = tuple(acc)
+        state = nxt
+    return out, state
+
+
+def test_bpe_merges_python_replay(spark):
+    """Seeded pseudo-random corpus over a 3-letter alphabet replayed
+    in pure python: identical merge table for 10 rounds."""
+    import random
+
+    from knext_spark.pipeline import bpe_merges
+
+    rng = random.Random(23)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(200)
+    ]
+    freqs: dict = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    want, _ = _py_bpe(freqs, 10)
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_merges(docs, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding the training corpus with the learned merges reproduces
+    the learner's final symbol state word-for-word, preserves document
+    token order, and n_chars equals the corpus's alnum char count."""
+    from knext_spark.pipeline import bpe_encode, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "lower newest"), (2, "newest widest low")], ["doc_id", "text"]
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(docs, k=4).collect()
+    ]
+    freqs = {"lower": 1, "newest": 2, "widest": 1, "low": 1}
+    _, state = _py_bpe(freqs, 4)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert out[1]["pieces"] == list(state["lower"]) + list(state["newest"])
+    assert (
+        out[2]["pieces"]
+        == list(state["newest"]) + list(state["widest"]) + list(state["low"])
+    )
+    for d, words in ((1, ["lower", "newest"]), (2, ["newest", "widest", "low"])):
+        assert out[d]["n_pieces"] == len(out[d]["pieces"])
+        assert out[d]["n_chars"] == sum(len(w) for w in words)
+
+
+def test_bpe_merges_rejects_bad_params(spark):
+    """k < 1 fails loudly."""
+    import pytest as _pytest
+
+    from knext_spark.pipeline import bpe_merges
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bpe_merges(df, k=0)
