@@ -1988,6 +1988,117 @@ def run_spanops(sf_dir: str, levels=(2, 8)) -> dict:
     }
 
 
+def run_bpeops(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for BPE merge learning.
+
+    The operator's scale story is structural: after the one corpus
+    pass (tokenize -> groupBy word), every merge round runs over
+    VOCABULARY-bounded state, so round cost is independent of corpus
+    size — replicating the corpus 100× (500k docs) changes only the
+    counts, not the per-round work. The measured job is therefore
+    corpus-pass-dominated exactly as it would be at 100 TB, and the
+    efficiency number reflects the part that actually grows with
+    data. Protocol mirrors --spanops (shared Parquet input, min of 2
+    runs per level)."""
+    from knext_spark.session import get_spark
+    from knext_spark.pipeline import bpe_merges
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_NO_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_NO_LEVELS"].split(",")
+        )
+    runs = int(os.environ.get("SPARK_GRAFT_NO_RUNS", "2"))
+    doc_reps = int(os.environ.get("SPARK_GRAFT_NO_DOC_REPS", "100"))
+    bpe_k = int(os.environ.get("SPARK_GRAFT_BPE_K", "4"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    docs_dir = tempfile.mkdtemp(prefix="bench_bpe_docs_")
+    spark = get_spark(
+        "bench_bpe_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    (
+        docs0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(doc_reps - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") * doc_reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_bpe_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        docs = spark.read.parquet(docs_dir).persist()
+        n_rows = docs.count()
+        walls, rows = [], None
+        for _ in range(runs):
+            t0 = time.time()
+            m = bpe_merges(docs, k=bpe_k)
+            rows = m.count()
+            walls.append(time.time() - t0)
+        w = min(walls)
+        out[f"local[{cpus}]"] = {
+            "n_docs": n_rows,
+            f"bpe_merges_k{bpe_k}": {
+                "wall_s": round(w, 2),
+                "rows_per_sec": round(n_rows / w, 1),
+                "out_rows": rows,
+                "walls": [round(x, 2) for x in walls],
+            },
+        }
+        docs.unpersist()
+        spark.stop()
+
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        pairs[f"bpe_merges_k{bpe_k}:{lo}->{hi}"] = round(
+            out[f"local[{hi}]"][f"bpe_merges_k{bpe_k}"]["rows_per_sec"]
+            / out[f"local[{lo}]"][f"bpe_merges_k{bpe_k}"]["rows_per_sec"]
+            / (hi / lo),
+            4,
+        )
+    headline = (
+        pairs[f"bpe_merges_k{bpe_k}:{levels[0]}->{levels[1]}"]
+        if len(levels) >= 2
+        else None
+    )
+    return {
+        "metric": "bpeops_scaling_efficiency",
+        "value": headline,
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "doc_reps": doc_reps,
+        "bpe_k": bpe_k,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_refcmp(n_docs: int | None = None) -> dict:
     """Head-to-head: reference parser (single-threaded pandas/NetworkX,
     run in-process from /root/reference) vs engine (local[32]) on the
@@ -2104,6 +2215,8 @@ if __name__ == "__main__":
         emit(run_r5ops(sf_dir))
     elif "--spanops" in sys.argv:
         emit(run_spanops(sf_dir))
+    elif "--bpeops" in sys.argv:
+        emit(run_bpeops(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))
