@@ -1582,6 +1582,125 @@ def q_topo_levels(spark, sf_dir):
     return topological_levels(_layer_edges(spark, sf_dir))
 
 
+def _chord_edges(spark, sf_dir, n=2000):
+    """Deterministic SPARSE ring-chord digraph from lineitem for the
+    priority-peeling operators: node = l_orderkey % n, edges to the
+    next 1-or-2 neighbor (offset 1 + l_partkey % 2), so out-degree <= 2
+    and undirected degree <= 4 BY CONSTRUCTION at any SF — the peeling
+    depth (longest strictly-priority-decreasing path, the round count
+    of ``coloring``) stays O(log n) no matter how dense lineitem gets,
+    where the mod-1000 contract graph would degenerate to one winner
+    per round once nearly complete."""
+    li = _read(spark, sf_dir, "lineitem")
+    src = F.col("l_orderkey") % n
+    return li.select(
+        src.alias("src"),
+        ((src + 1 + F.col("l_partkey") % 2) % n).alias("dst"),
+    ).distinct()
+
+
+_CHORD_SQL = (
+    "select distinct l_orderkey % 2000 as src, "
+    "(l_orderkey % 2000 + 1 + l_partkey % 2) % 2000 as dst from lineitem"
+)
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic maximal independent set (graph/mis.py mis) over
+    the sparse ring-chord graph: Luby rounds with md5-ticket
+    priorities, winners dominate their neighbors out. ``mis_round`` =
+    the 0-based round the node won (renamed from the operator's
+    ``round`` — a SQL reserved word). Oracle: the SAME algorithm
+    unrolled as materialized CTEs (_peel_sql dominate=True),
+    idempotent at the fixpoint, k_core's failure direction."""
+    from knext_spark.graph import mis
+
+    return mis(_chord_edges(spark, sf_dir)).select(
+        "node", F.col("round").alias("mis_round")
+    )
+
+
+def q_coloring(spark, sf_dir):
+    """Proper greedy coloring by priority peeling (graph/mis.py
+    coloring) over the sparse ring-chord graph: winners leave with
+    color = round; adjacent nodes can never win together. Oracle:
+    _peel_sql dominate=False, same unrolled-CTE discipline."""
+    from knext_spark.graph import coloring
+
+    return coloring(_chord_edges(spark, sf_dir))
+
+
+def _peel_sql(dominate: bool, rounds: int, edge: str = _CHORD_SQL) -> str:
+    """Unrolled priority-peeling rounds shared by the ``mis`` and
+    ``coloring`` oracles: round i's winners are the still-active nodes
+    whose injective priority (md5('mis:'||id) || ':' || id — the exact
+    engine expression, graph/mis.py _priority) beats every remaining
+    neighbor's; ``dominate`` also removes the winners' neighbors (MIS)
+    where coloring removes only the winners. Idempotent at the
+    fixpoint — a w_i past convergence is empty, so extra rounds add no
+    rows; a deeper-than-unroll graph LOSES rows and fails the gate
+    loudly (k_core's failure direction). CTEs are MATERIALIZED for the
+    usual DuckDB re-expansion reason."""
+    parts = [
+        f"""
+        with e0 as materialized (
+          with e as ({edge})
+          select distinct a, b from (
+            select src as a, dst as b from e where src <> dst
+            union all
+            select dst as a, src as b from e where src <> dst
+          )
+        ),
+        n0 as materialized (select distinct a from e0),
+        pr as materialized (
+          select a,
+                 md5('mis:' || cast(a as varchar)) || ':'
+                   || cast(a as varchar) as p
+          from n0
+        )"""
+    ]
+    prev_n, prev_e = "n0", "e0"
+    sel = []
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        w{i} as materialized (
+          select n.a from {prev_n} n
+          join pr on pr.a = n.a
+          left join (
+            select e.a, min(p2.p) as mp
+            from {prev_e} e join pr p2 on p2.a = e.b
+            group by e.a
+          ) m on m.a = n.a
+          where m.mp is null or pr.p < m.mp
+        )""")
+        if dominate:
+            parts.append(f""",
+        r{i} as materialized (
+          select a from w{i}
+          union
+          select e.b as a from {prev_e} e join w{i} w on w.a = e.a
+        )""")
+            rem = f"r{i}"
+        else:
+            rem = f"w{i}"
+        parts.append(f""",
+        n{i} as materialized (
+          select a from {prev_n} where a not in (select a from {rem})
+        ),
+        e{i} as materialized (
+          select a, b from {prev_e}
+          where a not in (select a from {rem})
+            and b not in (select a from {rem})
+        )""")
+        sel.append(
+            f"select a as node, cast({i - 1} as bigint) as "
+            f"{'mis_round' if dominate else 'color'} from w{i}"
+        )
+        prev_n, prev_e = f"n{i}", f"e{i}"
+    parts.append("\n" + "\nunion all\n".join(sel))
+    return "".join(parts)
+
+
 def q_k_truss(spark, sf_dir):
     """k-truss of the SPARSE contract graph (mod=5000 — the dense
     mod-1000 graph never peels at small k): iterative edge peeling by
@@ -1886,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "topo_levels": q_topo_levels,
+        "mis": q_mis,
+        "coloring": q_coloring,
         "cms_token_counts": q_cms_token_counts,
         "dup_spans": q_dup_spans,
         "contaminated_spans": q_contaminated_spans,
@@ -3977,6 +4098,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_sql(3),
         "k_truss": _ktruss_sql(4),
         "topo_levels": _toposort_sql(),
+        "mis": _peel_sql(dominate=True, rounds=20),
+        "coloring": _peel_sql(dominate=False, rounds=28),
         "cms_token_counts": _cms_sql(w_hex=1),
         "dup_spans": _dup_spans_sql(),
         "contaminated_spans": _contam_spans_sql(),

@@ -21,6 +21,12 @@ from knext_spark.graph.components import connected_components  # noqa: F401
 from knext_spark.graph.lpa import label_propagation  # noqa: F401
 from knext_spark.graph.triangles import triangle_count  # noqa: F401
 from knext_spark.graph.kcore import k_core, k_core_run  # noqa: F401
+from knext_spark.graph.mis import (  # noqa: F401
+    coloring,
+    coloring_run,
+    mis,
+    mis_run,
+)
 from knext_spark.graph.ktruss import k_truss, k_truss_run  # noqa: F401
 from knext_spark.graph.hits import hits  # noqa: F401
 from knext_spark.graph.scc import strongly_connected_components  # noqa: F401

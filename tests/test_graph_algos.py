@@ -1770,3 +1770,140 @@ def test_pseudo_diameter_rejects_unknown_start(spark):
     # a valid hand-picked start still works
     rows = pseudo_diameter(df, start="c").collect()
     assert rows[0]["source"] == "c" and rows[0]["ecc"] == 2
+
+
+# ------------------------------------------------------------ MIS / coloring
+def _peel_replay(pairs, dominate):
+    """Pure-python replay of graph/mis.py's priority peeling: the exact
+    md5-ticket priority, local-minima winners, optional domination."""
+    import hashlib
+
+    def prio(x):
+        s = str(x)
+        return hashlib.md5(f"mis:{s}".encode()).hexdigest() + ":" + s
+
+    sym = set()
+    for u, v in pairs:
+        if u != v:
+            sym.add((u, v))
+            sym.add((v, u))
+    active = {u for u, _ in sym}
+    es = set(sym)
+    decided = {}
+    rnd = 0
+    while active:
+        nb = {}
+        for u, v in es:
+            nb.setdefault(u, set()).add(v)
+        win = {u for u in active if all(prio(u) < prio(v) for v in nb.get(u, ()))}
+        assert win, "peeling must progress every round"
+        for u in win:
+            decided[u] = rnd
+        removed = win | (
+            {v for u in win for v in nb.get(u, ())} if dominate else set()
+        )
+        active -= removed
+        es = {(u, v) for u, v in es if u in active and v in active}
+        rnd += 1
+    return decided, sym
+
+
+def _mis_pairs(seed=7, n=300, m=600):
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            pairs.add((str(u), str(v)))
+    return sorted(pairs)
+
+
+def test_mis_matches_python_replay_and_is_maximal(spark):
+    from knext_spark.graph import mis
+
+    pairs = _mis_pairs()
+    expected, sym = _peel_replay(pairs, dominate=True)
+    got = {(r["node"], r["round"]) for r in mis(_edge_df(spark, pairs)).collect()}
+    assert got == set(expected.items())
+    members = {n for n, _ in got}
+    # independent: no internal edge
+    assert not any(v in members for u, v in sym if u in members)
+    # maximal: every non-member has a member neighbor
+    nb = {}
+    for u, v in sym:
+        nb.setdefault(u, set()).add(v)
+    assert all(nb[u] & members for u in nb if u not in members)
+
+
+def test_coloring_matches_python_replay_and_is_proper(spark):
+    from knext_spark.graph import coloring
+
+    pairs = _mis_pairs(seed=11)
+    expected, sym = _peel_replay(pairs, dominate=False)
+    got = {
+        (r["node"], r["color"]) for r in coloring(_edge_df(spark, pairs)).collect()
+    }
+    assert got == set(expected.items())
+    colors = dict(got)
+    assert all(colors[u] != colors[v] for u, v in sym)
+
+
+def test_mis_dense_graph_few_rounds(spark):
+    """Luby domination keeps the round count O(log V) even on a dense
+    graph (where the coloring peel would need ~V rounds): a 60-node
+    random graph at edge density ~0.5 must finish in < 8 rounds and
+    still replay exactly."""
+    from knext_spark.graph import mis_run
+
+    rng = random.Random(3)
+    pairs = sorted(
+        (str(u), str(v))
+        for u in range(60)
+        for v in range(60)
+        if u < v and rng.random() < 0.5
+    )
+    expected, _ = _peel_replay(pairs, dominate=True)
+    res = mis_run(spark, _edge_df(spark, pairs))
+    assert res.converged
+    assert res.iterations < 8
+    got = {(r["node"], r["round"]) for r in res.state.collect()}
+    assert got == set(expected.items())
+
+
+def test_mis_resume_identical(spark, tmp_path):
+    """Kill-at-round-1 resume for the MIS peel: interrupted + resumed
+    equals an uninterrupted run member-for-member, round-for-round."""
+    from knext_spark.graph import mis_run
+
+    df = _edge_df(spark, _mis_pairs(seed=19, n=120, m=260))
+    full = mis_run(spark, df, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    assert any(m.get("decided", 0) > 0 for m in full.metrics)
+    killed = mis_run(spark, df, checkpoint_dir=str(tmp_path / "p"), max_iter=1)
+    assert not killed.converged
+    resumed = mis_run(
+        spark, df, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    want = sorted(map(tuple, full.state.collect()))
+    assert sorted(map(tuple, resumed.state.collect())) == want
+
+
+def test_coloring_resume_identical(spark, tmp_path):
+    from knext_spark.graph import coloring_run
+
+    df = _edge_df(spark, _mis_pairs(seed=23, n=120, m=260))
+    full = coloring_run(spark, df, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    killed = coloring_run(
+        spark, df, checkpoint_dir=str(tmp_path / "p"), max_iter=1
+    )
+    assert not killed.converged
+    resumed = coloring_run(
+        spark, df, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    want = sorted(map(tuple, full.state.collect()))
+    assert sorted(map(tuple, resumed.state.collect())) == want
