@@ -1630,6 +1630,108 @@ def q_coloring(spark, sf_dir):
     return coloring(_chord_edges(spark, sf_dir))
 
 
+def q_anf(spark, sf_dir):
+    """Approximate neighborhood function / HyperBall (graph/anf.py
+    anf): per-node 3-hop ball-size estimates over the sparse
+    ring-chord graph by HLL register max-merge rounds — the registers,
+    merge, and estimate are pipeline/sketch.py's, so the oracle is the
+    hll_distinct_tokens replica with ``node`` as the group key over a
+    fixed 3-round unrolled merge (_anf_sql). Estimate micros-gated
+    like the hll row (same single-ln 1-ulp reasoning)."""
+    from knext_spark.graph import anf
+
+    out = anf(_chord_edges(spark, sf_dir), hops=3, k_hex=3)
+    return out.select(
+        "node",
+        "n_registers",
+        "v_zero",
+        _micros(F.col("estimate")).alias("estimate_micros"),
+    )
+
+
+def _anf_sql(hops: int = 3, k_hex: int = 3, edge: str = _CHORD_SQL) -> str:
+    """DuckDB replay of the whole ANF pipeline: the engine's exact
+    md5 register/rho derivation (pipeline/sketch.py, salt 'anf'),
+    ``hops`` unrolled max-merge rounds along the symmetrized edges,
+    then the _hll_sql estimate tail keyed by node. Fixed-H unroll —
+    no fixpoint argument needed, the round count IS the operator's
+    parameter."""
+    from knext_spark.pipeline.sketch import _alpha
+
+    m = 16**k_hex
+    a_m2 = repr(_alpha(m) * m * m)
+    rho = f"""case when length(regexp_extract(suf, '^0*')) = 12 then 49
+                   else 4 * length(regexp_extract(suf, '^0*'))
+                        + case when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '8' then 0
+                               when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '4' then 1
+                               when substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1) >= '2' then 2
+                               else 3 end
+                        + 1 end"""
+    parts = [
+        f"""
+        with e0 as materialized (
+          with e as ({edge})
+          select distinct a, b from (
+            select src as a, dst as b from e where src <> dst
+            union all
+            select dst as a, src as b from e where src <> dst
+          )
+        ),
+        h0 as materialized (
+          select node, substr(hx, 1, {k_hex}) as register,
+                 substr(hx, {k_hex + 1}, 12) as suf
+          from (
+            select a as node, md5('anf:' || cast(a as varchar)) as hx
+            from (select distinct a from e0)
+          )
+        ),
+        r0 as materialized (
+          select node, register, {rho} as rho from h0
+        )"""
+    ]
+    prev = "r0"
+    for i in range(1, hops + 1):
+        parts.append(f""",
+        r{i} as materialized (
+          select node, register, max(rho) as rho from (
+            select node, register, rho from {prev}
+            union all
+            select e.a as node, r.register, r.rho
+            from e0 e join {prev} r on r.node = e.b
+          ) group by node, register
+        )""")
+        prev = f"r{i}"
+    parts.append(f""",
+        iv as (
+          select node, register,
+                 cast(1.0 as double) / cast((1::bigint << rho) as double) as inv
+          from {prev}
+        ),
+        agg as (
+          select node, count(*) as n_registers,
+                 list(inv order by register) as l
+          from iv group by node
+        ),
+        est as (
+          select node, n_registers, {m} - n_registers as v_zero,
+                 list_reduce(l, (a, b) -> a + b)
+                   + cast({m} - n_registers as double) as s
+          from agg
+        )
+        select node,
+               cast(n_registers as bigint) as n_registers,
+               cast(v_zero as bigint) as v_zero,
+               cast(floor(
+                 case when {a_m2} / s <= {repr(2.5 * m)} and v_zero > 0
+                      then cast({m} as double)
+                           * ln(cast({m} as double) / cast(v_zero as double))
+                      else {a_m2} / s end * 1000000 + 0.5) as bigint
+               ) as estimate_micros
+        from est
+    """)
+    return "".join(parts)
+
+
 def _peel_sql(dominate: bool, rounds: int, edge: str = _CHORD_SQL) -> str:
     """Unrolled priority-peeling rounds shared by the ``mis`` and
     ``coloring`` oracles: round i's winners are the still-active nodes
@@ -2007,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_levels": q_topo_levels,
         "mis": q_mis,
         "coloring": q_coloring,
+        "anf": q_anf,
         "cms_token_counts": q_cms_token_counts,
         "dup_spans": q_dup_spans,
         "contaminated_spans": q_contaminated_spans,
@@ -4100,6 +4203,7 @@ def oracle_sql() -> dict[str, str]:
         "topo_levels": _toposort_sql(),
         "mis": _peel_sql(dominate=True, rounds=20),
         "coloring": _peel_sql(dominate=False, rounds=28),
+        "anf": _anf_sql(hops=3, k_hex=3),
         "cms_token_counts": _cms_sql(w_hex=1),
         "dup_spans": _dup_spans_sql(),
         "contaminated_spans": _contam_spans_sql(),

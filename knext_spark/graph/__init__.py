@@ -20,6 +20,7 @@ from knext_spark.graph.pagerank import pagerank  # noqa: F401
 from knext_spark.graph.components import connected_components  # noqa: F401
 from knext_spark.graph.lpa import label_propagation  # noqa: F401
 from knext_spark.graph.triangles import triangle_count  # noqa: F401
+from knext_spark.graph.anf import anf, anf_run  # noqa: F401
 from knext_spark.graph.kcore import k_core, k_core_run  # noqa: F401
 from knext_spark.graph.mis import (  # noqa: F401
     coloring,

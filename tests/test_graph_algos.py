@@ -1907,3 +1907,92 @@ def test_coloring_resume_identical(spark, tmp_path):
     assert resumed.iterations == full.iterations
     want = sorted(map(tuple, full.state.collect()))
     assert sorted(map(tuple, resumed.state.collect())) == want
+
+
+# ------------------------------------------------------------ ANF / HyperBall
+def _anf_replay(pairs, hops, k_hex=3):
+    """Pure-python replay: exact BFS balls + the engine's exact
+    register/rho derivation (pipeline/sketch.py, salt 'anf')."""
+    import hashlib
+
+    sym = {}
+    for u, v in pairs:
+        if u != v:
+            sym.setdefault(u, set()).add(v)
+            sym.setdefault(v, set()).add(u)
+
+    def reg_rho(x):
+        hx = hashlib.md5(f"anf:{x}".encode()).hexdigest()
+        reg, suf = hx[:k_hex], hx[k_hex : k_hex + 12]
+        z = len(suf) - len(suf.lstrip("0"))
+        if z == 12:
+            return reg, 49
+        c = suf[z]
+        extra = 0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3
+        return reg, 4 * z + extra + 1
+
+    balls, regs = {}, {}
+    for v in sym:
+        cur = {v}
+        for _ in range(hops):
+            cur = cur | {w for x in cur for w in sym.get(x, ())}
+        balls[v] = cur
+        r = {}
+        for w in cur:
+            k, rho = reg_rho(w)
+            r[k] = max(r.get(k, 0), rho)
+        regs[v] = r
+    return balls, regs
+
+
+def test_anf_registers_match_replay_and_estimates_track_truth(spark):
+    from knext_spark.graph import anf
+
+    pairs = _mis_pairs(seed=31, n=200, m=320)
+    balls, regs = _anf_replay(pairs, hops=3)
+    rows = anf(_edge_df(spark, pairs), hops=3).collect()
+    assert len(rows) == len(balls)
+    for r in rows:
+        v = r["node"]
+        # register-count equality pins the merged sketch exactly
+        assert r["n_registers"] == len(regs[v]), v
+        true = len(balls[v])
+        # m=4096 on balls of tens of nodes sits in the near-exact
+        # linear-counting regime; 10% is a loose ceiling
+        assert abs(r["estimate"] - true) / true < 0.10, (v, r["estimate"], true)
+
+
+def test_anf_hops_zero_is_singleton_ball(spark):
+    from knext_spark.graph import anf
+
+    pairs = [("a", "b"), ("b", "c")]
+    rows = anf(_edge_df(spark, pairs), hops=0).collect()
+    assert len(rows) == 3
+    assert all(r["n_registers"] == 1 for r in rows)
+    assert all(abs(r["estimate"] - 1.0) < 0.01 for r in rows)
+
+
+def test_anf_rejects_negative_hops(spark):
+    import pytest as _pytest
+
+    from knext_spark.graph import anf
+
+    with _pytest.raises(ValueError, match="hops"):
+        anf(_edge_df(spark, [("a", "b")]), hops=-1)
+
+
+def test_anf_resume_identical(spark, tmp_path):
+    """Kill-after-round-1 resume for the register merge: interrupted +
+    resumed equals an uninterrupted 3-hop run estimate-for-estimate."""
+    from knext_spark.graph import anf_run
+
+    df = _edge_df(spark, _mis_pairs(seed=37, n=120, m=200))
+    full = anf_run(spark, df, hops=3, checkpoint_dir=str(tmp_path / "f"))
+    assert full.converged
+    killed = anf_run(spark, df, hops=1, checkpoint_dir=str(tmp_path / "p"))
+    resumed = anf_run(
+        spark, df, hops=3, checkpoint_dir=str(tmp_path / "p"), resume=True
+    )
+    assert resumed.converged
+    want = sorted(map(tuple, full.state.collect()))
+    assert sorted(map(tuple, resumed.state.collect())) == want
