@@ -1988,6 +1988,143 @@ def run_spanops(sf_dir: str, levels=(2, 8)) -> dict:
     }
 
 
+def run_peelops(sf_dir: str, levels=(2, 8)) -> dict:
+    """Two-level scaling evidence for the priority-peeling / sketch
+    operators added late in round 5: Luby MIS, greedy coloring
+    (graph/mis.py) and the HyperBall neighborhood function
+    (graph/anf.py).
+
+    Input: a deterministic degree-bounded graph over ``n`` nodes
+    (ring edge i->i+1 plus one chord i->i+7919+(i%1009), so out-degree
+    2 at ANY n) — bounded degree is what keeps the peel depth
+    O(log n), and the round count is data-determined hence IDENTICAL
+    at both parallelism levels (the fixed-round truss/topo protocol
+    argument). Written once to shared Parquet; each level reads the
+    same bytes; min-of-runs walls; throughput = nodes decided (MIS,
+    coloring) or register-merge hops x nodes (ANF) per second, plus
+    the per-pair scaling efficiency."""
+    from knext_spark.session import get_spark
+    from knext_spark.graph import anf_run, coloring_run, mis_run
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if os.environ.get("SPARK_GRAFT_NO_LEVELS"):
+        levels = tuple(
+            int(x) for x in os.environ["SPARK_GRAFT_NO_LEVELS"].split(",")
+        )
+    runs = int(os.environ.get("SPARK_GRAFT_NO_RUNS", "2"))
+    n_nodes = int(os.environ.get("SPARK_GRAFT_PEEL_NODES", "2000000"))
+    anf_hops = int(os.environ.get("SPARK_GRAFT_ANF_HOPS", "2"))
+    n_part = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "56g")
+    shm = "/dev/shm/spark-scale-tmp"
+    os.makedirs(shm, exist_ok=True)
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.local.dir": shm,
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "24g",
+        "spark.buffer.pageSize": "8m",
+    }
+
+    edge_dir = tempfile.mkdtemp(prefix="bench_peel_edges_")
+    spark = get_spark(
+        "bench_peel_gen", master="local[32]",
+        shuffle_partitions=n_part, extra_conf=conf,
+    )
+    ids = spark.range(n_nodes).select(F.col("id").alias("src"))
+    (
+        ids.select("src", ((F.col("src") + 1) % n_nodes).alias("dst"))
+        .unionByName(
+            ids.select(
+                "src",
+                (
+                    (F.col("src") + 7919 + F.col("src") % 1009) % n_nodes
+                ).alias("dst"),
+            )
+        )
+        .repartition(n_part)
+        .write.mode("overwrite")
+        .parquet(edge_dir)
+    )
+    spark.stop()
+
+    out = {}
+    for cpus in levels:
+        spark = get_spark(
+            f"bench_peel_{cpus}", master=f"local[{cpus}]",
+            shuffle_partitions=n_part, extra_conf=conf,
+        )
+        edges = spark.read.parquet(edge_dir).persist()
+        n_edges = edges.count()
+        level = {"n_nodes": n_nodes, "n_edges": n_edges}
+
+        def _mk(algo):
+            def _run():
+                ck = tempfile.mkdtemp(prefix=f"bench_{algo}_", dir=shm)
+                if algo == "mis":
+                    r = mis_run(spark, edges, checkpoint_dir=ck)
+                elif algo == "coloring":
+                    r = coloring_run(spark, edges, checkpoint_dir=ck)
+                else:
+                    r = anf_run(
+                        spark, edges, hops=anf_hops, checkpoint_dir=ck
+                    )
+                return r
+            return _run
+
+        for name, denom, fn in (
+            ("mis", n_nodes, _mk("mis")),
+            ("coloring", n_nodes, _mk("coloring")),
+            (f"anf_{anf_hops}hops", n_nodes * anf_hops, _mk("anf")),
+        ):
+            walls, rows, iters = [], None, None
+            for _ in range(runs):
+                t0 = time.time()
+                res = fn()
+                res.state.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+                rows = res.state.count()
+                iters = res.iterations
+            w = min(walls)
+            level[name] = {
+                "wall_s": round(w, 2),
+                "rows_per_sec": round(denom / w, 1),
+                "out_rows": rows,
+                "rounds": iters,
+                "walls": [round(x, 2) for x in walls],
+            }
+        out[f"local[{cpus}]"] = level
+        edges.unpersist()
+        spark.stop()
+
+    algos = ("mis", "coloring", f"anf_{anf_hops}hops")
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        for algo in algos:
+            pairs[f"{algo}:{lo}->{hi}"] = round(
+                out[f"local[{hi}]"][algo]["rows_per_sec"]
+                / out[f"local[{lo}]"][algo]["rows_per_sec"]
+                / (hi / lo),
+                4,
+            )
+    headline = (
+        pairs[f"anf_{anf_hops}hops:{levels[0]}->{levels[1]}"]
+        if len(levels) >= 2
+        else None
+    )
+    return {
+        "metric": "peelops_scaling_efficiency",
+        "value": headline,
+        "unit": "ratio",
+        "efficiency_pairs": pairs,
+        "levels": out,
+        "n_nodes": n_nodes,
+        "anf_hops": anf_hops,
+        "runs_per_level": runs,
+        "sf": sf,
+    }
+
+
 def run_bpeops(sf_dir: str, levels=(2, 8)) -> dict:
     """Two-level scaling evidence for BPE merge learning.
 
@@ -2217,6 +2354,8 @@ if __name__ == "__main__":
         emit(run_spanops(sf_dir))
     elif "--bpeops" in sys.argv:
         emit(run_bpeops(sf_dir))
+    elif "--peelops" in sys.argv:
+        emit(run_peelops(sf_dir))
     else:
         rec = run_suite(sf_dir, cpus)
         here = os.path.dirname(os.path.abspath(__file__))

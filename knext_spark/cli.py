@@ -9,7 +9,7 @@ Reference: ``knext get-kgml|genes|mixed|convert``
   parse-genes   docs table -> genes-mode edge warehouse (+ TSV export)
   parse-mixed   docs table -> mixed-mode edge warehouse (+ TSV export)
   convert       edge warehouse -> NCBI/UniProt ids (convert.py parity)
-  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|ktruss|diameter|toposort|modularity
+  pagerank|hits|cc|scc|lpa|triangles|clustering|jaccard|bfs|betweenness|ktruss|diameter|toposort|mis|coloring|anf|modularity
                 graph algorithms over an edge warehouse, with
                 checkpoint/resume for the iterative ones (pagerank
                 takes --personalization, a parquet of (node, p)
@@ -18,6 +18,9 @@ Reference: ``knext get-kgml|genes|mixed|convert``
                 take --sources, a parquet of (node) seeds; ktruss
                 takes -k; diameter takes --sweeps; toposort emits
                 (node, level) with -1 for cycle-tainted nodes;
+                mis/coloring emit the deterministic md5-ticket
+                independent set / proper coloring; anf takes --hops
+                and emits per-node ball-size estimates;
                 modularity takes --labels, a parquet of (node, label),
                 and prints the scalar Q)
 
@@ -217,6 +220,30 @@ def cmd_graph(args):
             run_id=args.run_id, resume=args.resume,
             max_iter=args.max_iter, cadence=args.cadence,
         )
+    elif args.verb == "mis":
+        from knext_spark.graph import mis_run
+
+        res = mis_run(
+            spark, edges, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume,
+            max_iter=args.max_iter, cadence=args.cadence,
+        )
+    elif args.verb == "coloring":
+        from knext_spark.graph import coloring_run
+
+        res = coloring_run(
+            spark, edges, checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, resume=args.resume,
+            max_iter=args.max_iter, cadence=args.cadence,
+        )
+    elif args.verb == "anf":
+        from knext_spark.graph import anf_run
+
+        res = anf_run(
+            spark, edges, hops=args.hops,
+            checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
+            resume=args.resume, cadence=args.cadence,
+        )
     elif args.verb == "diameter":
         from knext_spark.graph import pseudo_diameter
 
@@ -329,7 +356,7 @@ def build_parser() -> argparse.ArgumentParser:
     for verb in (
         "pagerank", "hits", "cc", "scc", "lpa", "triangles",
         "clustering", "jaccard", "bfs", "betweenness", "ktruss",
-        "diameter", "toposort",
+        "diameter", "toposort", "mis", "coloring", "anf",
     ):
         s = sub.add_parser(verb)
         s.add_argument("--edges", required=True)
@@ -359,6 +386,8 @@ def build_parser() -> argparse.ArgumentParser:
         # ktruss only: the support threshold; diameter only: sweeps
         s.add_argument("-k", type=int, default=3)
         s.add_argument("--sweeps", type=int, default=2)
+        # anf only: ball radius
+        s.add_argument("--hops", type=int, default=3)
         s.set_defaults(fn=cmd_graph)
     return p
 

@@ -57,3 +57,9 @@ def test_cli_parser_all_verbs():
     assert a.verb == "ktruss" and a.k == 4
     a = p.parse_args(["diameter", "--edges", "/e", "--out", "/o", "--sweeps", "3"])
     assert a.verb == "diameter" and a.sweeps == 3 and a.direction == "both"
+    a = p.parse_args(["mis", "--edges", "/e", "--out", "/o"])
+    assert a.verb == "mis" and a.cadence == 1
+    a = p.parse_args(["coloring", "--edges", "/e", "--out", "/o", "--resume"])
+    assert a.verb == "coloring" and a.resume
+    a = p.parse_args(["anf", "--edges", "/e", "--out", "/o", "--hops", "4"])
+    assert a.verb == "anf" and a.hops == 4
