@@ -1245,6 +1245,72 @@ def q_cms_token_counts(spark, sf_dir):
     return cms_lookup(sketch, qs, "token", depth=4, w_hex=1)
 
 
+def q_bloom_seen(spark, sf_dir):
+    """Bloom-filter membership (pipeline/sketch.py bloom_bits /
+    bloom_probe): build a depth=4 x 256-bit filter over the tokens of
+    the even-doc half ('the seen corpus'), then probe every distinct
+    corpus token PLUS a 'zz:'-prefixed twin of each (guaranteed-unseen
+    keys, so the row carries both outcomes). b_hex=2 ON PURPOSE: ~124
+    set bits of 256 put the false-positive rate near 5%, so the row
+    exercises the collision path, not a 1:1 passthrough (production
+    callers size b_hex to the key cardinality). Never a false
+    negative; all-string bit state — hash-exact against a full DuckDB
+    recomputation of the same md5 dag."""
+    from knext_spark.pipeline import bloom_bits, bloom_probe
+    from knext_spark.pipeline.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.where("doc_id % 2 = 0").select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    bits = bloom_bits(seen, "token", depth=4, b_hex=2)
+    base = docs.select(F.explode(tokens_col("text")).alias("token")).distinct()
+    qs = base.unionByName(
+        base.select(F.concat(F.lit("zz:"), F.col("token")).alias("token"))
+    )
+    return bloom_probe(bits, qs, "token", depth=4, b_hex=2)
+
+
+def _bloom_sql(depth: int = 4, b_hex: int = 2, salt: str = "bloom") -> str:
+    """Full DuckDB recomputation of the bloom row: the same
+    md5(salt:row:token) bit dag (bit id = 'row:hex'), distinct set
+    bits, all-depth-present membership — hash-exact (strings and
+    booleans only)."""
+    return f"""
+        with tok as (
+          select unnest({_TOKENS}) as token from documents
+          where doc_id % 2 = 0
+        ),
+        rws as (select unnest(range(0, {depth})) as row),
+        bits as (
+          select distinct
+                 cast(rws.row as varchar) || ':' ||
+                 substr(md5('{salt}:' || cast(rws.row as varchar) || ':' || token),
+                        1, {b_hex}) as bit
+          from tok, rws
+        ),
+        q0 as (
+          select distinct unnest({_TOKENS}) as token from documents
+        ),
+        q as (
+          select token from q0
+          union all
+          select 'zz:' || token from q0
+        ),
+        probe as (
+          select q.token,
+                 cast(rws.row as varchar) || ':' ||
+                 substr(md5('{salt}:' || cast(rws.row as varchar) || ':' || q.token),
+                        1, {b_hex}) as bit
+          from q, rws
+        )
+        select p.token, count(b.bit) = {depth} as maybe_member
+        from probe p
+        left join bits b on b.bit = p.bit
+        group by p.token
+    """
+
+
 # contract thresholds: the synthetic corpus is 10-99-token docs with
 # at most ONE distinct English stopword (it spreads its mass across 5
 # languages), so the Gopher production defaults would fail every row
@@ -2111,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "anf": q_anf,
         "cms_token_counts": q_cms_token_counts,
+        "bloom_seen": q_bloom_seen,
         "dup_spans": q_dup_spans,
         "contaminated_spans": q_contaminated_spans,
         "bpe_merges": q_bpe_merges,
@@ -4205,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring": _peel_sql(dominate=False, rounds=28),
         "anf": _anf_sql(hops=3, k_hex=3),
         "cms_token_counts": _cms_sql(w_hex=1),
+        "bloom_seen": _bloom_sql(),
         "dup_spans": _dup_spans_sql(),
         "contaminated_spans": _contam_spans_sql(),
         "bpe_merges": _bpe_sql(8),

@@ -34,6 +34,9 @@ from knext_spark.pipeline.text import (  # noqa: F401
 )
 from knext_spark.pipeline.contamination import contamination  # noqa: F401
 from knext_spark.pipeline.sketch import (  # noqa: F401
+    bloom_bits,
+    bloom_merge,
+    bloom_probe,
     cms_lookup,
     cms_merge,
     cms_table,

@@ -428,3 +428,132 @@ def histogram_quantiles(
     for r in pieces[1:]:
         out = out.unionByName(r)
     return out
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    depth: int = 4,
+    b_hex: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter state (Bloom 1970): one row per (group, set bit) —
+    the mergeable MEMBERSHIP twin of the HLL/CMS sketches above.
+    ``bit = first b_hex hex chars of md5(salt:row:key)`` for ``depth``
+    salted hash rows, kept AS A STRING like CMS buckets so no numeric
+    conversion exists on either engine (m = 16^b_hex bits; the row
+    index is folded into the bit id as ``row:hex`` so the depth hash
+    families never collide with each other).
+
+    Scale shape: the posexplode multiplies rows x ``depth`` BEFORE a
+    distinct whose shuffle carries at most ``groups x depth x
+    16^b_hex`` rows no matter the input size; bit tables from disjoint
+    slices MERGE by plain distinct union (:func:`bloom_merge`) — the
+    'seen corpus' accounting that lets a 100 TB dedup pass probe
+    membership from a broadcast table instead of joining the corpus.
+    Probes (:func:`bloom_probe`) NEVER false-negative; false positives
+    are ~(1 - e^(-d*n/m))^d. All-string state — hash-exact across
+    engines."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if not 1 <= b_hex <= 8:
+        raise ValueError(f"b_hex must be in [1, 8], got {b_hex}")
+    df = df.where(F.col(key_col).isNotNull())
+    rows = F.array([F.lit(r) for r in range(depth)])
+    probe = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(rows).alias("__row"),
+    )
+    bit = F.concat(
+        F.col("__row").cast("string"),
+        F.lit(":"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("__row").cast("string"),
+                    F.lit(":"),
+                    F.col("__k"),
+                )
+            ),
+            1,
+            b_hex,
+        ),
+    )
+    return (
+        probe.select(*[F.col(c) for c in group_cols], bit.alias("bit"))
+        .dropDuplicates([*group_cols, "bit"])
+    )
+
+
+def bloom_merge(
+    bits: DataFrame, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge bit tables (e.g. a union of per-day filters) into one per
+    group: plain distinct, map-side combinable. The merged table
+    equals :func:`bloom_bits` over the concatenated input exactly."""
+    return bits.dropDuplicates([*group_cols, "bit"])
+
+
+def bloom_probe(
+    bits: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    depth: int = 4,
+    b_hex: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe each query key against a :func:`bloom_bits` table:
+    ``maybe_member`` = all ``depth`` of the key's bits are set (never
+    a false negative; false-positive rate per the build docstring).
+    Returns (group_cols..., key_col, maybe_member).
+
+    ``depth``/``b_hex``/``salt`` must match the build parameters — a
+    width mismatch is caught loudly by the same assert_true guard as
+    the HLL/CMS probes. The bit side is broadcast (<= groups x depth x
+    16^b_hex rows by construction), so the probe never shuffles the
+    query table — the point of the structure at 100 TB."""
+    bits = bits.where(
+        F.assert_true(
+            F.length("bit") <= b_hex + 2,
+            F.lit(
+                f"bit width > row:{b_hex} hex — table built with a different b_hex"
+            ),
+        ).isNull()
+    )
+    q = queries.where(F.col(key_col).isNotNull()).dropDuplicates(
+        [*group_cols, key_col]
+    )
+    rows = F.array([F.lit(r) for r in range(depth)])
+    probe = q.select(
+        *[F.col(c) for c in group_cols],
+        F.col(key_col),
+        F.explode(rows).alias("__row"),
+    )
+    bit = F.concat(
+        F.col("__row").cast("string"),
+        F.lit(":"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("__row").cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            b_hex,
+        ),
+    )
+    probed = probe.withColumn("bit", bit).join(
+        F.broadcast(bits.withColumn("__hit", F.lit(1))),
+        [*group_cols, "bit"],
+        "left",
+    )
+    return probed.groupBy(*group_cols, key_col).agg(
+        (F.count("__hit") == depth).alias("maybe_member")
+    )

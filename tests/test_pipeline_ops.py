@@ -1875,3 +1875,73 @@ def test_bpe_merges_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         bpe_merges(df, k=0)
+
+
+def _py_bloom_bits(keys, depth, b_hex, salt="bloom"):
+    import hashlib
+
+    bits = set()
+    for k in keys:
+        for r in range(depth):
+            hx = hashlib.md5(f"{salt}:{r}:{k}".encode()).hexdigest()
+            bits.add(f"{r}:{hx[:b_hex]}")
+    return bits
+
+
+def test_bloom_matches_python_replay_and_never_false_negative(spark):
+    """Bloom filter (pipeline/sketch.py bloom_bits/bloom_probe): the
+    bit table matches a pure-python md5 replay exactly; every inserted
+    key probes true (no false negatives — the Bloom guarantee); a
+    16-bit filter over 37 keys genuinely false-positives somewhere
+    while a wide one rejects every unseen key — both regimes forced."""
+    from knext_spark.pipeline import bloom_bits, bloom_probe
+
+    keys = sorted({f"k{i % 37}" for i in range(200)})
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bits = bloom_bits(df, "k", depth=3, b_hex=1)
+    assert {r["bit"] for r in bits.collect()} == _py_bloom_bits(keys, 3, 1)
+
+    unseen = [f"u{i}" for i in range(64)]
+    qdf = spark.createDataFrame([(k,) for k in keys + unseen], "k string")
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(bits, qdf, "k", depth=3, b_hex=1).collect()
+    }
+    assert all(got[k] for k in keys), "Bloom false-negatived a member"
+    assert any(got[k] for k in unseen), (
+        "a 16-bit filter holding 37 keys is saturated — unseen keys "
+        "must false-positive"
+    )
+    wide = bloom_probe(
+        bloom_bits(df, "k", depth=3, b_hex=6), qdf, "k", depth=3, b_hex=6
+    )
+    gw = {r["k"]: r["maybe_member"] for r in wide.collect()}
+    assert all(gw[k] for k in keys)
+    assert not any(gw[k] for k in unseen)
+
+
+def test_bloom_merge_exactness_and_guards(spark):
+    """Bit tables from disjoint slices merge (distinct) into exactly
+    the whole-input table; parameter guards reject bad depth/width; a
+    probe against a filter built at a different b_hex fails LOUDLY."""
+    import pytest as _pytest
+
+    from knext_spark.pipeline import bloom_bits, bloom_merge, bloom_probe
+
+    rows = [(f"t{i % 11}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    h1 = bloom_bits(df.where("k < 't5'"), "k", depth=4, b_hex=2)
+    h2 = bloom_bits(df.where("k >= 't5'"), "k", depth=4, b_hex=2)
+    merged = bloom_merge(h1.unionByName(h2))
+    direct = bloom_bits(df, "k", depth=4, b_hex=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    with _pytest.raises(ValueError):
+        bloom_bits(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        bloom_bits(df, "k", b_hex=9)
+    q = spark.createDataFrame([("t1",)], "k string")
+    with _pytest.raises(Exception, match="b_hex"):
+        bloom_probe(bloom_bits(df, "k", depth=4, b_hex=4), q, "k",
+                    depth=4, b_hex=1).collect()
