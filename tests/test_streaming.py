@@ -243,3 +243,39 @@ def test_new_projection_ops_stream_equals_batch(spark, tmp_path):
         r["doc_id"] for r in weighted_sample(docs, rates, "lang", "doc_id").collect()
     }
     assert got2 == want2 and 0 < len(got2) < 500
+
+
+def test_bloom_bits_accumulate_over_stream(spark, tmp_path):
+    """The incremental seen-corpus pattern: each microbatch's
+    bloom_bits append to a bits table via foreachBatch, and the
+    bloom_merge of the accumulated table equals the batch-built filter
+    over all the data EXACTLY (distinct-union mergeability is what
+    makes the filter maintainable without re-reading the corpus)."""
+    from knext_spark.pipeline import bloom_bits, bloom_merge
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(str(tmp_path / "docs_src"))
+    stream = spark.readStream.schema(docs.schema).parquet(
+        str(tmp_path / "docs_src")
+    )
+    bits_dir = str(tmp_path / "bits")
+
+    def fold(batch_df, batch_id):
+        bloom_bits(batch_df, "text", depth=3, b_hex=3).write.mode(
+            "append"
+        ).parquet(bits_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = sorted(
+        r["bit"] for r in bloom_merge(spark.read.parquet(bits_dir)).collect()
+    )
+    direct = sorted(
+        r["bit"] for r in bloom_bits(docs, "text", depth=3, b_hex=3).collect()
+    )
+    assert merged == direct and len(merged) > 0
