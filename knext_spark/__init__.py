@@ -20,15 +20,19 @@ lists -> graph analysis), re-expressed Spark-first:
   Adamic-Adar / resource-allocation / preferential-attachment link
   prediction, Newman modularity scoring, degree assortativity,
   k-truss decomposition, double-sweep pseudo-diameter, topological
-  levels with cycle detection (Kahn peeling), and deterministic
-  DeepWalk-style random walks (``graph/``),
+  levels with cycle detection (Kahn peeling), deterministic Luby
+  maximal independent set and priority-peeling greedy coloring,
+  HyperBall-style approximate neighborhood function, and
+  deterministic DeepWalk-style random walks (``graph/``),
 - large-scale training-data pipeline operators (dedup incl. transitive
   cluster closure, similarity search, text analysis incl. repetition
   scoring, corpus profiling, char-bigram LM quality scoring, PII
   scrubbing, benchmark-contamination screening, deterministic splits
   incl. stratified quotas and temperature mixture sampling, mergeable
   sketches — HyperLogLog distinct counts, count-min frequency
-  estimates, and fixed-bin histogram quantiles —, concat-and-chunk sequence packing, multimodal plumbing,
+  estimates, Bloom-filter membership, and fixed-bin histogram
+  quantiles —, distributed BPE merge learning, concat-and-chunk
+  sequence packing, multimodal plumbing,
   temporal joins, sessionization) (``pipeline/``, ``streaming/``).
 
 No per-row Python anywhere in the hot path: plans are built-in
