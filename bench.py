@@ -2072,11 +2072,14 @@ def run_peelops(sf_dir: str, levels=(2, 8)) -> dict:
                 return r
             return _run
 
+        which = os.environ.get("SPARK_GRAFT_PEEL_OPS", "mis,coloring,anf").split(",")
         for name, denom, fn in (
             ("mis", n_nodes, _mk("mis")),
             ("coloring", n_nodes, _mk("coloring")),
             (f"anf_{anf_hops}hops", n_nodes * anf_hops, _mk("anf")),
         ):
+            if name.split("_")[0] not in which:
+                continue
             walls, rows, iters = [], None, None
             for _ in range(runs):
                 t0 = time.time()
@@ -2097,7 +2100,10 @@ def run_peelops(sf_dir: str, levels=(2, 8)) -> dict:
         edges.unpersist()
         spark.stop()
 
-    algos = ("mis", "coloring", f"anf_{anf_hops}hops")
+    algos = tuple(
+        a for a in ("mis", "coloring", f"anf_{anf_hops}hops")
+        if a in out[f"local[{levels[0]}]"]
+    )
     pairs = {}
     for lo, hi in zip(levels, levels[1:]):
         for algo in algos:
@@ -2107,11 +2113,8 @@ def run_peelops(sf_dir: str, levels=(2, 8)) -> dict:
                 / (hi / lo),
                 4,
             )
-    headline = (
-        pairs[f"anf_{anf_hops}hops:{levels[0]}->{levels[1]}"]
-        if len(levels) >= 2
-        else None
-    )
+    head_key = f"{algos[-1]}:{levels[0]}->{levels[1]}"
+    headline = pairs.get(head_key) if len(levels) >= 2 else None
     return {
         "metric": "peelops_scaling_efficiency",
         "value": headline,
