@@ -1665,10 +1665,14 @@ def _chord_edges(spark, sf_dir, n=2000):
     ).distinct()
 
 
-_CHORD_SQL = (
-    "select distinct l_orderkey % 2000 as src, "
-    "(l_orderkey % 2000 + 1 + l_partkey % 2) % 2000 as dst from lineitem"
-)
+def _chord_sql(n: int = 2000) -> str:
+    return (
+        f"select distinct l_orderkey % {n} as src, "
+        f"(l_orderkey % {n} + 1 + l_partkey % 2) % {n} as dst from lineitem"
+    )
+
+
+_CHORD_SQL = _chord_sql()
 
 
 def q_mis(spark, sf_dir):

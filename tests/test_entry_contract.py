@@ -298,3 +298,61 @@ def test_ktruss_oracle_second_graph(spark, ddb):
     )
     assert got_cols == want_cols
     assert got == want
+
+
+def test_mis_coloring_oracle_second_graph(spark, ddb):
+    """Unrolled priority-peeling oracles at a second graph shape
+    (n=977, a prime, so the ring wrap and chord pattern differ from
+    the contract's n=2000): both the dominating (MIS) and
+    non-dominating (coloring) unrolls must stay hash-exact, and the
+    unroll budgets must still cover the peel depth."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import coloring, mis
+
+    edges = entrymod._chord_edges(spark, SF_DIR, n=977)
+    got, got_cols = _spark_rows(
+        mis(edges).select("node", F.col("round").alias("mis_round"))
+    )
+    want, want_cols = _duck_rows(
+        ddb,
+        entrymod._peel_sql(
+            dominate=True, rounds=20, edge=entrymod._chord_sql(977)
+        ),
+    )
+    assert got_cols == want_cols
+    assert got == want
+
+    got, got_cols = _spark_rows(coloring(edges))
+    want, want_cols = _duck_rows(
+        ddb,
+        entrymod._peel_sql(
+            dominate=False, rounds=28, edge=entrymod._chord_sql(977)
+        ),
+    )
+    assert got_cols == want_cols
+    assert got == want
+
+
+def test_anf_oracle_second_graph_and_hops(spark, ddb):
+    """ANF oracle at a second graph shape AND a different radius
+    (hops=2 vs the contract's 3) — the fixed-H unroll must track the
+    operator's parameter exactly."""
+    from pyspark.sql import functions as F
+
+    from knext_spark.graph import anf
+
+    out = anf(entrymod._chord_edges(spark, SF_DIR, n=977), hops=2, k_hex=3)
+    got, got_cols = _spark_rows(
+        out.select(
+            "node",
+            "n_registers",
+            "v_zero",
+            entrymod._micros(F.col("estimate")).alias("estimate_micros"),
+        )
+    )
+    want, want_cols = _duck_rows(
+        ddb, entrymod._anf_sql(hops=2, k_hex=3, edge=entrymod._chord_sql(977))
+    )
+    assert got_cols == want_cols
+    assert got == want
