@@ -101,19 +101,31 @@ def lsh_candidate_pairs(
     max_bucket: int = 10000,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket.
-    Buckets larger than ``max_bucket`` are pruned (boilerplate guard)."""
+    Buckets larger than ``max_bucket`` are pruned (boilerplate guard).
+
+    Pairs are generated IN-ROW from each bucket's collected member
+    list instead of a bucket-keyed self-join: the self-join (plus the
+    separate size aggregate) consumed the band projection three times,
+    and exchange reuse never fires across differently-pruned subtrees,
+    so the whole signature pipeline was recomputed per consumer
+    (guide §2.4 — measured: 40 parquet scans of the corpus in one
+    minhash_dedup plan). One groupBy collects each bucket once; the
+    size gate is a filter on the collected array; memory stays bounded
+    because the second explode fans out one row per (bucket, member)
+    carrying the <= max_bucket member array, never the full pair
+    array."""
     bk = lsh_bands(sig, key, bands, rows)
-    sizes = bk.groupBy("band", "band_key").agg(F.count("*").alias("sz"))
-    bk = bk.join(
-        sizes.where(F.col("sz") <= max_bucket).select("band", "band_key"),
-        ["band", "band_key"],
+    gate = F.size("ms") >= 2
+    if max_bucket is not None:
+        gate = gate & (F.size("ms") <= max_bucket)
+    buckets = (
+        bk.groupBy("band", "band_key")
+        .agg(F.collect_list(key).alias("ms"))
+        .where(gate)
     )
-    a = bk.select(F.col(key).alias("a"), "band", "band_key")
-    b = bk.select(F.col(key).alias("b"), "band", "band_key")
     return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode(F.filter("ms", lambda y: y > F.col("a"))).alias("b"))
         .distinct()
     )
 
@@ -132,9 +144,11 @@ def ngram_jaccard_pairs(
     Without ``candidates``: inverted-index join (explode shingles,
     self-join on shingle, group to intersection counts) — generates
     only pairs sharing >= 1 shingle. With ``candidates`` (e.g. from
-    LSH): verifies just those pairs. Returns (a, b, jaccard >= threshold).
+    LSH): verifies just those pairs by broadcasting the pair list onto
+    the corpus and intersecting the two shingle sets in-row (see the
+    branch comment). Returns (a, b, jaccard >= threshold).
 
-    ``max_posting`` caps the inverted-index posting lists: a shingle
+    ``max_posting`` (index path only) caps posting lists: a shingle
     appearing in more documents than this is boilerplate, not
     duplication, and its posting list alone would generate O(list^2)
     pairs — the quadratic hot-key blowup at 100 TB. Pruned shingles
@@ -145,10 +159,64 @@ def ngram_jaccard_pairs(
     shingles and still surfaces. Mirrors ``max_bucket`` in
     ``lsh_candidate_pairs``; the prune is logged, not silent.
     """
+    if candidates is not None:
+        # Verify candidate pairs by IN-ROW set intersection instead of
+        # exploded-shingle index joins. The candidate pair set is
+        # duplication-mass-sized (tiny relative to the corpus), so it
+        # broadcasts; one broadcast join per side attaches each pair's
+        # document text WITHOUT shuffling the corpus, and the Jaccard
+        # arithmetic runs on two carried shingle arrays. The previous
+        # index formulation shuffled every candidate document's
+        # exploded shingle rows through two joins — corpus-window-sized
+        # exchanges to verify a tiny pair set (guide §2.3/§3; measured
+        # 10x bench: minhash_dedup 28.2s -> 8.2s). Shingles are
+        # computed AFTER the join, so only paired documents pay them.
+        # Melted single broadcast: each pair explodes into one row per
+        # side keyed on that side's doc id, so ONE broadcast hash join
+        # (keyed on the doc id) attaches text to both roles — two
+        # per-side joins would be keyed differently and broadcast the
+        # candidate pipeline twice (broadcast exchanges with different
+        # hash keys never reuse; measured as a full second candidate
+        # recompute). Regrouping by (a, b) then pairs the two texts
+        # with a tiny |pairs|-sized exchange.
+        melted = candidates.select(
+            "a",
+            "b",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("role"), F.col("a").alias("k")),
+                    F.struct(F.lit(1).alias("role"), F.col("b").alias("k")),
+                )
+            ).alias("u"),
+        ).select("a", "b", F.col("u.role").alias("role"), F.col("u.k").alias("k"))
+        j = df.select(
+            F.col(key).alias("k"), F.col(text_col).alias("__t")
+        ).join(F.broadcast(melted), "k")
+        texted = j.groupBy("a", "b").agg(
+            F.max(F.when(F.col("role") == 0, F.col("__t"))).alias("__ta"),
+            F.max(F.when(F.col("role") == 1, F.col("__t"))).alias("__tb"),
+        )
+        sa = shingles_col("__ta", w)
+        sb = shingles_col("__tb", w)
+        scored = texted.select(
+            "a",
+            "b",
+            F.size(F.array_intersect(sa, sb)).alias("inter"),
+            F.size(sa).alias("na"),
+            F.size(sb).alias("nb"),
+        )
+        out = scored.where(F.col("inter") > 0).select(
+            "a",
+            "b",
+            (
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        return out.where(F.col("jaccard") >= threshold)
     sh = df.select(key, shingles_col(text_col, w).alias("shs"))
     sizes = sh.select(key, F.size("shs").alias("n"))
     ex = sh.select(key, F.explode("shs").alias("sh"))
-    if candidates is None and max_posting is not None:
+    if max_posting is not None:
         hot = (
             ex.groupBy("sh")
             .agg(F.count("*").alias("df_"))
@@ -166,30 +234,12 @@ def ngram_jaccard_pairs(
             ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     pa = ex.select(F.col(key).alias("a"), "sh")
     pb = ex.select(F.col(key).alias("b"), "sh")
-    if candidates is not None:
-        # Intersect ONLY the candidate pairs: fan the a-side shingle
-        # lists out over the candidate list, then hash-join the b-side
-        # index on (b, sh). Cost is O(|candidates| * shingles_per_doc),
-        # independent of posting-list sizes. (The previous left_semi
-        # AFTER the full self-join still materialized the O(posting^2)
-        # pair explosion first — Catalyst pushes a semi-join below the
-        # aggregation but cannot split its keys across the two index
-        # sides, so the blowup survived. This formulation is why
-        # LSH-verify scales at 100 TB.)
-        inter = (
-            candidates.select("a", "b")
-            .join(pa, "a")
-            .join(pb, ["b", "sh"])
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        inter = (
-            pa.join(pb, "sh")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("inter"))
-        )
+    inter = (
+        pa.join(pb, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
     na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
     out = (
