@@ -235,10 +235,84 @@ def clique_pairs(parsed: DataFrame, unique: bool = False) -> DataFrame:
 def aggregated_with_cliques(parsed: DataFrame, unique: bool = False) -> DataFrame:
     """`_replace_with_cliques` (`genes.py:220-237`): per-(src,dst)
     comma-join aggregation of df_out, then clique rows overwrite
-    (keep-last). ``out_seq`` = reference TSV row order."""
-    df_out = expanded_pairs(parsed, unique)
-    agg = (
-        df_out.groupBy("doc_id", "pathway", "entry1", "entry2")
+    (keep-last). ``out_seq`` = reference TSV row order.
+
+    Both pair families are generated from ONE pass over ``_raw_edges``:
+    the expanded (kind 0) and clique (kind 1) pair arrays concatenate
+    in-row and share a single explode + aggregation, with each clique
+    row forming its own singleton group (its unique seq struct joins
+    the group key). Composing ``expanded_pairs`` + ``clique_pairs``
+    instead recomputes the whole parse->raw subtree per branch —
+    column pruning specializes each branch's scan, so exchange reuse
+    never fires (guide §2.4; measured ~4s/branch at the 10x bench).
+    The aggregation output is value-identical: kind-0 groups comma-join
+    exactly df_out's rows, kind-1 singleton groups reproduce each
+    clique row verbatim."""
+    raw = _raw_edges(parsed, unique)
+    combined = F.concat("arr1", "arr2")
+    side = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 1, _combinations(arr)
+    ).otherwise(F.lit(None).cast(_PAIR_T))
+    both = F.concat(
+        F.coalesce(side(F.col("arr1")), F.array().cast(_PAIR_T)),
+        F.coalesce(side(F.col("arr2")), F.array().cast(_PAIR_T)),
+    )
+    p0 = F.transform(
+        _combinations(combined),
+        lambda x, i: F.struct(
+            F.lit(0).alias("kind"),
+            i.alias("pair_idx"),
+            x["a"].alias("a"),
+            x["b"].alias("b"),
+        ),
+    )
+    p1 = F.transform(
+        both,
+        lambda x, i: F.struct(
+            F.lit(1).alias("kind"),
+            i.alias("pair_idx"),
+            x["a"].alias("a"),
+            x["b"].alias("b"),
+        ),
+    )
+    ex = raw.select(
+        "doc_id",
+        "pathway",
+        "rel_idx",
+        "sub_idx",
+        "types",
+        "name",
+        "value",
+        F.explode(F.concat(p0, p1)).alias("p"),
+    )
+    rows = ex.select(
+        "doc_id",
+        "pathway",
+        F.col("p.kind").alias("kind"),
+        F.col("p.a").alias("entry1"),
+        F.col("p.b").alias("entry2"),
+        F.when(F.col("p.kind") == 0, F.col("types"))
+        .otherwise(F.lit("type 2"))
+        .alias("type"),
+        F.when(F.col("p.kind") == 0, F.col("value"))
+        .otherwise(F.lit("undirectional"))
+        .alias("value"),
+        F.when(F.col("p.kind") == 0, F.col("name"))
+        .otherwise(F.lit("clique"))
+        .alias("name"),
+        F.struct(
+            "rel_idx", "sub_idx", F.col("p.pair_idx").alias("pair_idx")
+        ).alias("seq"),
+    )
+    merged = (
+        rows.groupBy(
+            "doc_id",
+            "pathway",
+            "entry1",
+            "entry2",
+            F.col("kind"),
+            F.when(F.col("kind") == 1, F.col("seq")).alias("cseq"),
+        )
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("seq", "type", "value", "name"))
@@ -254,24 +328,10 @@ def aggregated_with_cliques(parsed: DataFrame, unique: bool = False) -> DataFram
                 "value"
             ),
             F.array_join(F.transform("rows", lambda r: r["name"]), ",").alias("name"),
-            F.lit(0).alias("priority"),
-            F.lit(None)
-            .cast("struct<rel_idx:int,sub_idx:int,pair_idx:int>")
-            .alias("seq"),
+            F.col("kind").alias("priority"),
+            F.col("cseq").alias("seq"),
         )
     )
-    cliq = clique_pairs(parsed, unique).select(
-        "doc_id",
-        "pathway",
-        "entry1",
-        "entry2",
-        "type",
-        "value",
-        "name",
-        F.lit(1).alias("priority"),
-        "seq",
-    )
-    merged = agg.unionByName(cliq)
     w = Window.partitionBy("doc_id", "entry1", "entry2").orderBy(
         F.desc("priority"),
         F.desc_nulls_last("seq.rel_idx"),
@@ -326,20 +386,24 @@ def build_edges(
     (doc_id, pathway, entry1, entry2, type, value, name, out_seq,
     weight). genes mode (mixed=False) propagates compounds/undefined
     nodes per document; see knext_spark.knext.propagate."""
-    from knext_spark.knext.propagate import propagate_contract, propagate_faithful
+    from knext_spark.knext.propagate import (
+        propagate_contract,
+        propagate_faithful_gated,
+    )
 
     xdf = aggregated_with_cliques(parsed, unique)
     xdf = mode_filters(xdf, mixed)
     if not mixed:
-        with_cpd = xdf.where(F.col("has_cpd")).drop("has_cpd")
-        without = xdf.where(~F.col("has_cpd")).drop("has_cpd")
-        prop = (
-            propagate_faithful(with_cpd)
-            if propagate == "faithful"
-            else propagate_contract(with_cpd)
-        )
-        prop = prop.where(F.col("name") != "clique")
-        xdf = prop.unionByName(without)
+        if propagate == "faithful":
+            # single grouped pass, per-doc has_cpd gate inside — see
+            # propagate_faithful_gated for why the two-branch split is
+            # a full pipeline recompute
+            xdf = propagate_faithful_gated(xdf)
+        else:
+            with_cpd = xdf.where(F.col("has_cpd")).drop("has_cpd")
+            without = xdf.where(~F.col("has_cpd")).drop("has_cpd")
+            prop = propagate_contract(with_cpd).where(F.col("name") != "clique")
+            xdf = prop.unionByName(without)
     else:
         xdf = xdf.drop("has_cpd")
     return xdf.withColumn("weight", F.lit(1.0))
