@@ -67,6 +67,7 @@ from pyspark.storagelevel import StorageLevel
 from knext_spark.graph.superstep import (
     SuperstepResult,
     SuperstepRunner,
+    auto_num_partitions,
     unpersist_checkpoint,
 )
 
@@ -128,20 +129,22 @@ def hits(
 
     w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("weight"))
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    e_src = e.repartition(n_part, "src").persist()
-    e_dst = e.repartition(n_part, "dst").persist()
-
-    nodes = (
+    # two-phase persist (same as pagerank): count first so the layout
+    # width can be derived from the graph size via auto_num_partitions
+    nodes_pre = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition(n_part, "node")
         .persist()
     )
-    n = nodes.count()
+    n = nodes_pre.count()
     if n == 0:
+        nodes_pre.unpersist()
         raise ValueError("empty graph")
+    n_part = num_partitions or auto_num_partitions(spark, n)
+    e_src = e.repartition(n_part, "src").persist()
+    e_dst = e.repartition(n_part, "dst").persist()
+    nodes = nodes_pre.repartition(n_part, "node").persist()
 
     def init_state() -> DataFrame:
         # auth starts as a placeholder (the recurrence derives a_1 from
@@ -279,6 +282,7 @@ def hits(
     e_src.unpersist()
     e_dst.unpersist()
     nodes.unpersist()
+    nodes_pre.unpersist()
     for df in retired:
         unpersist_checkpoint(df)
     retired.clear()

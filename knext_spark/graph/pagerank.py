@@ -61,7 +61,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from knext_spark.graph.degrees import pick_salt_k
-from knext_spark.graph.superstep import SuperstepRunner, SuperstepResult, unpersist_checkpoint
+from knext_spark.graph.superstep import (
+    SuperstepRunner,
+    SuperstepResult,
+    auto_num_partitions,
+    unpersist_checkpoint,
+)
 
 
 def _normalized_edges(edges: DataFrame, salt_k: int) -> DataFrame:
@@ -186,8 +191,6 @@ def pagerank(
         salt_k = pick_salt_k(edges)
 
     ne = _normalized_edges(edges, int(salt_k))
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ne = ne.repartition(n_part, "src").persist()
 
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -201,8 +204,16 @@ def pagerank(
         nodes = nodes.join(personalization, "node", "left").select(
             "node", F.coalesce(F.col("p"), F.lit(0.0)).alias("p")
         )
-    nodes = nodes.repartition(n_part, "node").persist()
-    n = nodes.count()
+    # two-phase persist: count the pre-partition frame once so the
+    # partition count can be DERIVED from the graph size (superstep.
+    # auto_num_partitions), then lay out the per-superstep frames with
+    # it; the pre-partition cache makes the repartition a cache read,
+    # not a recompute
+    nodes_pre = nodes.persist()
+    n = nodes_pre.count()
+    n_part = num_partitions or auto_num_partitions(spark, n)
+    ne = ne.repartition(n_part, "src").persist()
+    nodes = nodes_pre.repartition(n_part, "node").persist()
     # in-graph personalization mass: < 1.0 exactly when the caller put
     # mass on out-of-graph keys (nx banks that mass in the
     # normalization and lets it leak — the rank vector then sums to
@@ -378,6 +389,7 @@ def pagerank(
     result = runner.run(init_state, step, converged, max_iter, resume=resume)
     ne.unpersist()
     nodes.unpersist()
+    nodes_pre.unpersist()
     # the returned state is a committed-Parquet read-back — the working
     # checkpoint layers are dead; leaking them across calls compounds
     # into machine-wide GC pressure over a multi-run session (measured:

