@@ -44,9 +44,15 @@ def _quality_exprs(text_col: str = "text") -> dict[str, Column]:
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
-    punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 \t\n]", "")
+    # punct chars = chars NOT in [A-Za-z0-9 \t\n]. translate() with the
+    # allowed set as delete-chars counts them via a plain char map —
+    # value-identical to the regexp_replace strip it replaces, but with
+    # no per-row regex scan or result-string allocation (measured 2.4s
+    # -> 0.2s on the 10x bench corpus; guide §1.2 per-task work)
+    _allowed = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 \t\n"
     )
+    punct = F.length(F.translate(F.col(text_col), _allowed, ""))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-marker count
     # token-level stopword frequency (counts duplicates):
