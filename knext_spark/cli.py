@@ -137,6 +137,18 @@ def cmd_graph(args):
     # (modularity's parser has no --salt-k: default 1)
     raw_salt = getattr(args, "salt_k", 1)
     salt_k = raw_salt if raw_salt == "auto" else int(raw_salt)
+    if args.verb in ("mis", "coloring", "toposort") and args.cadence != 1:
+        # these verbs act on a SIDE frame each round, the measured
+        # lazy-chain recompute hazard (BENCH.md §13: 3-10x blowup) that
+        # made the library wrappers pin cadence=1 — clamp here too
+        import sys as _sys
+
+        print(
+            f"warning: --cadence clamped to 1 for {args.verb} "
+            "(side-frame per-round action; see BENCH.md §13)",
+            file=_sys.stderr,
+        )
+        args.cadence = 1
     if args.verb == "pagerank":
         pers = None
         if getattr(args, "personalization", None):

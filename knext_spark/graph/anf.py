@@ -108,16 +108,20 @@ def anf_run(
     def converged(m: dict) -> bool:
         return m.get("hop", 0) >= hops
 
-    runner = SuperstepRunner(spark, "anf", run_id, checkpoint_dir, cadence=cadence)
-    res = runner.run(init_state, step, converged, max(hops, 1), resume=resume)
-    sym.unpersist()
     if hops == 0:
-        # the runner always takes at least one step; hop 0 is the
-        # initial sketch, i.e. every ball is exactly {v}
-        regs = init_state()
-    else:
-        regs = res.state
-    out = hll_estimate(regs, ["node"], k_hex=k_hex).localCheckpoint(eager=True)
+        # hop 0 is the initial sketch (every ball is exactly {v}) —
+        # return it directly instead of paying one full merge superstep
+        # whose committed state would be discarded and recomputed
+        regs = init_state().localCheckpoint(eager=True)
+        sym.unpersist()
+        out = hll_estimate(regs, ["node"], k_hex=k_hex).localCheckpoint(eager=True)
+        unpersist_checkpoint(regs)
+        return SuperstepResult(out, 0, True, [])
+
+    runner = SuperstepRunner(spark, "anf", run_id, checkpoint_dir, cadence=cadence)
+    res = runner.run(init_state, step, converged, hops, resume=resume)
+    sym.unpersist()
+    out = hll_estimate(res.state, ["node"], k_hex=k_hex).localCheckpoint(eager=True)
     unpersist_checkpoint(res.state)
     return SuperstepResult(out, res.iterations, res.converged, res.metrics)
 

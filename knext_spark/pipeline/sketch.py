@@ -516,11 +516,17 @@ def bloom_probe(
     the HLL/CMS probes. The bit side is broadcast (<= groups x depth x
     16^b_hex rows by construction), so the probe never shuffles the
     query table — the point of the structure at 100 TB."""
+    # exact hex-suffix width check: bit rows are "<row>:<hex>", so the
+    # chars after the colon must number exactly b_hex. The previous
+    # `length(bit) <= b_hex + 2` bound assumed a single-digit row index
+    # (false alarm at depth >= 11) and silently accepted tables built
+    # with a SMALLER b_hex (universal false negatives) — the loud-catch
+    # contract needs the equality.
     bits = bits.where(
         F.assert_true(
-            F.length("bit") <= b_hex + 2,
+            F.length("bit") - F.instr(F.col("bit"), ":") == b_hex,
             F.lit(
-                f"bit width > row:{b_hex} hex — table built with a different b_hex"
+                f"bit hex width != {b_hex} — table built with a different b_hex"
             ),
         ).isNull()
     )

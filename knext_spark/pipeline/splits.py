@@ -144,9 +144,9 @@ def temperature_rates(
     """Per-stratum keep-rates for temperature-based corpus mixing
     (multilingual-LM style: sampling probability proportional to
     ``count^T``). A row of stratum ``s`` is kept with rate
-    ``(count_s / max_count)^(T-1)`` scaled so the LARGEST stratum's
-    rate is exactly the most down-weighted one (rate 1.0 goes to the
-    smallest stratum at T < 1) — i.e. rebalance by down-sampling the
+    ``min(1, (smallest_count / count_s)^(1-T))`` — kept mass stays
+    proportional to ``count_s^T`` while the smallest stratum keeps
+    rate exactly 1.0 at T < 1 — i.e. rebalance by down-sampling the
     head, never by replicating the tail. T = 1 keeps everything;
     T = 0 aims at equal expected sizes (capped at each stratum's own
     size). Driver-side floats only: the output feeds
