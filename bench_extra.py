@@ -38,7 +38,10 @@ def main(*names: str) -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     scale = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1")))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = 0.1  # free-form data dir; sf is informational only here
     spark = get_spark(
         "bench_extra", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus)
     )

@@ -141,7 +141,7 @@ def hits(
     if n == 0:
         nodes_pre.unpersist()
         raise ValueError("empty graph")
-    n_part = num_partitions or auto_num_partitions(spark, n)
+    n_part = num_partitions or auto_num_partitions(spark, n, e)
     e_src = e.repartition(n_part, "src").persist()
     e_dst = e.repartition(n_part, "dst").persist()
     nodes = nodes_pre.repartition(n_part, "node").persist()

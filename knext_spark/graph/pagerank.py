@@ -211,7 +211,7 @@ def pagerank(
     # not a recompute
     nodes_pre = nodes.persist()
     n = nodes_pre.count()
-    n_part = num_partitions or auto_num_partitions(spark, n)
+    n_part = num_partitions or auto_num_partitions(spark, n, edges)
     ne = ne.repartition(n_part, "src").persist()
     nodes = nodes_pre.repartition(n_part, "node").persist()
     # in-graph personalization mass: < 1.0 exactly when the caller put

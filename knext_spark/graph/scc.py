@@ -134,7 +134,7 @@ def strongly_connected_components(
         .distinct()
         .persist()
     )
-    n_part = num_partitions or auto_num_partitions(spark, nodes_pre.count())
+    n_part = num_partitions or auto_num_partitions(spark, nodes_pre.count(), edges)
     e0 = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))

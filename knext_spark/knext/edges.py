@@ -201,19 +201,28 @@ def expanded_pairs(parsed: DataFrame, unique: bool = False) -> DataFrame:
     )
 
 
+def _clique_both() -> Column:
+    """The reference's per-row clique pair array: 2-combinations of
+    each side's multi-gene entry (size > 1 gate), entry1-side pairs
+    before entry2-side — shared verbatim by :func:`clique_pairs` and
+    :func:`aggregated_with_cliques` so the two families can never
+    drift."""
+    side = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 1, _combinations(arr)
+    ).otherwise(F.lit(None).cast(_PAIR_T))
+    return F.concat(
+        F.coalesce(side(F.col("arr1")), F.array().cast(_PAIR_T)),
+        F.coalesce(side(F.col("arr2")), F.array().cast(_PAIR_T)),
+    )
+
+
 def clique_pairs(parsed: DataFrame, unique: bool = False) -> DataFrame:
     """The reference's ``cliquedf`` (`genes.py:120-131`): intra-entry
     pairs for entries aliasing >1 gene, labeled
     ('type 2', 'undirectional', 'clique'); entry1-side pairs precede
     entry2-side pairs within a row, preserving generation order."""
     raw = _raw_edges(parsed, unique)
-    side = lambda arr: F.when(  # noqa: E731
-        F.size(arr) > 1, _combinations(arr)
-    ).otherwise(F.lit(None).cast(_PAIR_T))
-    both = F.concat(
-        F.coalesce(side(F.col("arr1")), F.array().cast(_PAIR_T)),
-        F.coalesce(side(F.col("arr2")), F.array().cast(_PAIR_T)),
-    )
+    both = _clique_both()
     return raw.select(
         "doc_id",
         "pathway",
@@ -250,13 +259,7 @@ def aggregated_with_cliques(parsed: DataFrame, unique: bool = False) -> DataFram
     clique row verbatim."""
     raw = _raw_edges(parsed, unique)
     combined = F.concat("arr1", "arr2")
-    side = lambda arr: F.when(  # noqa: E731
-        F.size(arr) > 1, _combinations(arr)
-    ).otherwise(F.lit(None).cast(_PAIR_T))
-    both = F.concat(
-        F.coalesce(side(F.col("arr1")), F.array().cast(_PAIR_T)),
-        F.coalesce(side(F.col("arr2")), F.array().cast(_PAIR_T)),
-    )
+    both = _clique_both()
     p0 = F.transform(
         _combinations(combined),
         lambda x, i: F.struct(

@@ -117,6 +117,17 @@ def lsh_candidate_pairs(
     bk = lsh_bands(sig, key, bands, rows)
     gate = F.size("ms") >= 2
     if max_bucket is not None:
+        # bound the collected array BEFORE aggregation: keep at most
+        # max_bucket+1 rows per bucket (window row_number — sorts
+        # spill gracefully, unlike an aggregation buffer holding a
+        # boilerplate bucket's full member array). A bucket retaining
+        # max_bucket+1 rows is over-cap and the size gate drops it
+        # whole, so which members were retained never matters and the
+        # output is identical to collect-then-gate.
+        wcap = Window.partitionBy("band", "band_key").orderBy(key)
+        bk = bk.withColumn("__rn", F.row_number().over(wcap)).where(
+            F.col("__rn") <= max_bucket + 1
+        ).drop("__rn")
         gate = gate & (F.size("ms") <= max_bucket)
     buckets = (
         bk.groupBy("band", "band_key")
@@ -138,6 +149,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     max_posting: int = 10000,
+    verify: str = "broadcast",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
@@ -147,6 +159,17 @@ def ngram_jaccard_pairs(
     LSH): verifies just those pairs by broadcasting the pair list onto
     the corpus and intersecting the two shingle sets in-row (see the
     branch comment). Returns (a, b, jaccard >= threshold).
+
+    ``verify`` (candidates path only) is the scale governor for the
+    pair list: ``"broadcast"`` (default) ships the melted pairs to
+    every executor — the corpus is scanned once and never shuffled,
+    the right shape while the pair set is duplication-mass-sized (it
+    is bounded by bands x C(max_bucket, 2) per bucket, so size
+    ``max_bucket`` with broadcastability in mind). ``"index"`` keeps
+    the exploded-shingle index joins instead: slower (corpus-window
+    shuffles) but with no broadcast-size ceiling — use it when the
+    pair list is too large to broadcast (the 8 GB / 512M-row cap
+    fails loudly, not wrong).
 
     ``max_posting`` (index path only) caps posting lists: a shingle
     appearing in more documents than this is boilerplate, not
@@ -159,6 +182,36 @@ def ngram_jaccard_pairs(
     shingles and still surfaces. Mirrors ``max_bucket`` in
     ``lsh_candidate_pairs``; the prune is logged, not silent.
     """
+    if candidates is not None and verify == "index":
+        # no-ceiling fallback: exploded-shingle index joins, pruned to
+        # candidate documents per side (cost linear in the candidate
+        # docs' windows; the corpus shuffles but nothing broadcasts)
+        sh = df.select(key, shingles_col(text_col, w).alias("shs"))
+        sizes = sh.select(key, F.size("shs").alias("n"))
+        ex = sh.select(key, F.explode("shs").alias("sh"))
+        pa = ex.select(F.col(key).alias("a"), "sh")
+        pb = ex.select(F.col(key).alias("b"), "sh")
+        inter = (
+            candidates.select("a", "b")
+            .join(pa, "a")
+            .join(pb, ["b", "sh"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+        na = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
+        out = (
+            inter.join(na, "a")
+            .join(nb, "b")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+        )
+        return out.where(F.col("jaccard") >= threshold)
     if candidates is not None:
         # Verify candidate pairs by IN-ROW set intersection instead of
         # exploded-shingle index joins. The candidate pair set is
@@ -276,9 +329,7 @@ def minhash_dedup_pairs(
 def _md5_bit(col: Column, bit: int) -> Column:
     """Bit ``bit`` (0 = lsb of first nibble) of md5(col), via hex-digit
     value — identical logic expressible in DuckDB (('0x'||digit)::int)."""
-    nibble = F.substring(F.md5(col.cast("binary")), bit // 4 + 1, 1)
-    val = F.conv(nibble, 16, 10).cast("int")
-    return F.floor(val / (2 ** (bit % 4))) % 2
+    return _hex_bit(F.md5(col.cast("binary")), bit)
 
 
 def _hex_bit(hexcol: Column, bit: int) -> Column:
@@ -343,8 +394,18 @@ def _simhash_pairs_by_radius(
     Each unordered doc pair surfaces exactly once: an (a, b) pair with
     fingerprints (va != vb) is generated only from the (v1=va, v2=vb)
     direction (the mirrored direction yields (b, a), dropped by a < b),
-    and equal-fingerprint pairs come only from mask 0 — so no distinct
-    pass is needed at all."""
+    and equal-fingerprint pairs are generated only from mask 0 — so no
+    distinct pass is needed at all.
+
+    The explicit repartition("simhash") is the shared-exchange point:
+    fps is consumed three times (distinct values + both doc sides),
+    all keyed on the fingerprint, and every consumer uses fps's full
+    (key, simhash) output — so the subtrees below the exchange
+    canonicalize identically and ReuseExchange computes the expensive
+    fingerprint aggregation ONCE (without it, each consumer re-runs
+    the tokenize + md5 + groupBy pipeline; the repo's measured rule is
+    that reuse only fires when consumers cannot prune differently)."""
+    fps = fps.repartition("simhash")
     vals = fps.select(F.col("simhash").alias("v1")).distinct()
     flips = vals.select(
         "v1",
