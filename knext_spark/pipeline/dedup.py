@@ -222,7 +222,7 @@ def ngram_jaccard_pairs(
         # index formulation shuffled every candidate document's
         # exploded shingle rows through two joins — corpus-window-sized
         # exchanges to verify a tiny pair set (guide §2.3/§3; measured
-        # 10x bench: minhash_dedup 28.2s -> 8.2s). Shingles are
+        # 10x bench: minhash_dedup 28.2s -> 12.9s). Shingles are
         # computed AFTER the join, so only paired documents pay them.
         # Melted single broadcast: each pair explodes into one row per
         # side keyed on that side's doc id, so ONE broadcast hash join
